@@ -1,0 +1,578 @@
+"""Equilibrium algorithm: verification, QEP assembly, solve loop.
+
+Re-implements the reference's L3/L4 layers:
+
+* ``verify_solution`` / ``check_qp_convexity`` (qp_processing.jl:39-149) with
+  batched least-squares dual recovery and an LCP fallback solved by the
+  batched AVI kernel instead of PATH.
+* ``process_qp`` (qp_processing.jl:151-241): per-node optimality across the
+  cartesian product of child solution pieces, generating per-combo solution
+  graphs.
+* ``combine`` + the lazy ``IntersectionRoot`` product iterator
+  (qp_processing.jl:243-291, intersection.jl) including the red-zone
+  exclusion of the all-complements combination.
+* ``solve_qep`` GAVI assembly (avi.jl:205-377, 382-444): per-player labeled
+  blocks with ξ-consensus top rows, combined into one GAVI and solved by the
+  semismooth-Newton kernel.
+* ``solve_base`` outer fixed-point loop (algorithm.jl:1-127) with
+  random-projection cycling detection.
+
+The outer loop stays a thin host driver (levels as data, recursion over
+depth); all numeric kernels are jitted/batched underneath.
+"""
+
+from __future__ import annotations
+
+import itertools
+import logging
+import math
+from types import SimpleNamespace
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .enumeration import LocalGAVISolutions, process_solution_graph
+from .geometry import poly as gpoly
+from .geometry import setops
+from .geometry.project import project as project_poly
+from .geometry.poly import Poly, PolyUnion, intersect
+from .network import Linear, QPNet
+from .ops import batch_qp
+from .ops.avi import GAVI, Status, solve_gavi
+from .utils.metrics import METRICS
+
+logger = logging.getLogger("qpn_tpu")
+
+
+# --------------------------------------------------------------------------
+#  QP solve + convexity audit — qp_processing.jl:1-55
+# --------------------------------------------------------------------------
+
+def solve_qp(Q, q, A, l, u):
+    """Plain convex QP solve (qp_processing.jl:1-11 OSQP branch)."""
+    sol = batch_qp.solve_qp_np(Q, q, A, l, u)
+    if sol.status not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
+        raise RuntimeError(f"Solver failure. Status value is {sol.status}.")
+    return np.asarray(sol.x)
+
+
+def check_qp_convexity(Q, A, l, u, dec_inds, pid, tol: float = 1e-6):
+    """Nullspace-reduced Hessian eigenvalue audit (qp_processing.jl:39-55)."""
+    p = Poly(A, l, u)
+    impl, vals = setops.implicit_bounds(p, tol=1e-4)
+    Ae = A[impl][:, dec_inds] if np.any(impl) else np.zeros((0, len(dec_inds)))
+    if Ae.size:
+        U, S, Vt = np.linalg.svd(Ae, full_matrices=True)
+        r = int(np.sum(S > 1e-10))
+        Z = Vt.T[:, r:]
+    else:
+        Z = np.eye(len(dec_inds))
+    QQ = Z.T @ Q[np.ix_(dec_inds, dec_inds)] @ Z
+    evals = np.linalg.eigvalsh(QQ + QQ.T)
+    if not np.all(evals > -tol):
+        raise RuntimeError(f"QP {pid} is not convex. Exiting.")
+
+
+# --------------------------------------------------------------------------
+#  verify_solution — qp_processing.jl:57-149
+# --------------------------------------------------------------------------
+
+def verify_solution(qp, pid, constraints: Sequence[Poly], dec_inds, x,
+                    check_convexity: bool = False, tol: float = 1e-4):
+    """KKT verification of x for one node's QP given fixed other-player vars.
+
+    Returns namespace(solution: bool, lam: array | None, e: str | None)."""
+    x = np.asarray(x, dtype=np.float64)
+    dec_inds = list(dec_inds)
+    Q = qp.f.Q[dec_inds, :]
+    q = qp.f.q[dec_inds]
+    q_tilde = Q @ x + q
+
+    if constraints:
+        A = np.vstack([c.A for c in constraints])
+        l = np.concatenate([c.l for c in constraints])
+        u = np.concatenate([c.u for c in constraints])
+    else:
+        A = np.zeros((0, len(x)))
+        l = np.zeros(0)
+        u = np.zeros(0)
+    m = A.shape[0]
+
+    if check_convexity:
+        check_qp_convexity(qp.f.Q, A, l, u, dec_inds, pid)
+
+    feasible = all(c.contains(x, tol=1e-3) for c in constraints)
+    if not feasible:
+        return SimpleNamespace(
+            solution=False, lam=None,
+            e=f"Current point is infeasible when using tolerance {tol}.")
+
+    if m == 0:
+        if np.allclose(q_tilde, 0.0, atol=tol):
+            return SimpleNamespace(solution=True, lam=np.zeros(0), e=None)
+        return SimpleNamespace(solution=False, lam=None,
+                               e="Current point is suboptimal")
+
+    ax = A @ x
+    pos = ax < l + 1e-2          # lower-active window (qp_processing.jl:98)
+    neg = ax > u - 1e-2
+    both = pos & neg
+    pos = pos & ~both
+    neg = neg & ~both
+
+    Ap = A[pos][:, dec_inds]
+    An = A[neg][:, dec_inds]
+    A0 = A[both][:, dec_inds]
+    n_p, n_n = int(pos.sum()), int(neg.sum())
+
+    Abar = np.hstack([Ap.T, -An.T, A0.T])
+    if Abar.shape[1] > 0:
+        lam_ls, *_ = np.linalg.lstsq(Abar, q_tilde, rcond=None)
+        lam_p = lam_ls[:n_p]
+        lam_n = lam_ls[n_p:n_p + n_n]
+        lam_0 = lam_ls[n_p + n_n:]
+        if np.all(lam_p > -tol) and np.all(lam_n > -tol) and \
+                np.allclose(Abar @ lam_ls, q_tilde, atol=tol):
+            lam_out = np.zeros(m)
+            lam_out[pos] = lam_p
+            lam_out[neg] = -lam_n
+            lam_out[both] = lam_0
+            return SimpleNamespace(solution=True, lam=lam_out, e=None)
+
+    # dual LCP fallback (qp_processing.jl:128-146): signed least squares
+    #   min ½ λ'(Ad Ad')λ − (Ad q̃)'λ   s.t.  sign bounds by activity class
+    lb = np.where(neg | both, -np.inf, 0.0)
+    ub = np.where(pos | both, np.inf, 0.0)
+    Ad = A[:, dec_inds]
+    try:
+        lam = solve_qp(Ad @ Ad.T, -Ad @ q_tilde, np.eye(m), lb, ub)
+        if np.allclose(Ad.T @ lam, q_tilde, atol=1e-4):
+            return SimpleNamespace(solution=True, lam=lam, e=None)
+        return SimpleNamespace(solution=False, lam=lam,
+                               e="Current point is suboptimal (via QP).")
+    except RuntimeError as ee:
+        return SimpleNamespace(solution=False, lam=None,
+                               e=f"Solving for duals failed. {ee}")
+
+
+# --------------------------------------------------------------------------
+#  process_qp — qp_processing.jl:151-241
+# --------------------------------------------------------------------------
+
+def process_qp(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion],
+               exploration_vertices: int = 0,
+               rng: Optional[np.random.Generator] = None):
+    qp = qpn.qps[pid]
+    base_constraints = [qpn.constraints[c].poly for c in qp.constraint_indices]
+    dec_inds = qpn.decision_inds(pid)
+    check_convexity = qpn.options.check_convexity
+    gen_solution_graphs = (pid not in qpn.network_depth_map[1]) \
+        or qpn.options.gen_solution_map
+
+    child_inds = sorted(qpn.network_edges[pid])
+    if child_inds:
+        cardinalities = [range(len(S[j])) for j in child_inds]
+        if any(len(c) < 1 for c in cardinalities):
+            raise RuntimeError("Solution graphs were not properly populated.")
+        combos = list(itertools.product(*cardinalities))
+        logger.debug("node %d: %d subpiece combinations", pid, len(combos))
+        results = []
+        for combo in combos:
+            children_polys = [S[j][ji] for j, ji in zip(child_inds, combo)]
+            appended = base_constraints + children_polys
+            ret = verify_solution(qp, pid, appended, dec_inds, x,
+                                  check_convexity)
+            if not ret.solution:
+                assignments = {j: ji for j, ji in zip(child_inds, combo)}
+                return SimpleNamespace(solution=False, e=ret.e, failed=False,
+                                       subpiece_assignments=assignments, S=None)
+            if gen_solution_graphs:
+                gen = process_solution_graph(
+                    qp, appended, dec_inds, x, ret.lam,
+                    exploration_vertices=exploration_vertices, rng=rng)
+                graph = setops.remove_subsets(PolyUnion(gen.collect()))
+                results.append((children_polys, graph))
+        if gen_solution_graphs:
+            try:
+                S_out = PolyUnion(list(combine(results, x)))
+            except RuntimeError:
+                return SimpleNamespace(solution=False, failed=True, S=None,
+                                       e=None, subpiece_assignments={})
+        else:
+            S_out = None
+    else:
+        ret = verify_solution(qp, pid, base_constraints, dec_inds, x,
+                              check_convexity)
+        if not ret.solution:
+            return SimpleNamespace(solution=False, e=ret.e, failed=False,
+                                   subpiece_assignments={}, S=None)
+        if gen_solution_graphs:
+            gen = process_solution_graph(
+                qp, base_constraints, dec_inds, x, ret.lam,
+                exploration_vertices=exploration_vertices, rng=rng)
+            S_out = PolyUnion(gen.collect())
+            if len(S_out) == 0:
+                raise RuntimeError(
+                    "This shouldn't happen. Solution graph is empty.")
+        else:
+            S_out = None
+    return SimpleNamespace(solution=True, S=S_out, failed=False, e=None,
+                           subpiece_assignments={})
+
+
+# --------------------------------------------------------------------------
+#  combine — qp_processing.jl:243-291 + intersection.jl
+# --------------------------------------------------------------------------
+
+def combine(solgraphs, x):
+    """Region/solution decomposition ``S := ⋃ₚ ⋂ᵢ Zᵢᵖ`` with
+    ``Zᵢᵖ ∈ {Rᵢᶜ, Sᵢ}`` (docstring qp_processing.jl:260-266)."""
+    regions: List[Poly] = []
+    solutions: List[PolyUnion] = []
+    for (children_polys, s) in solgraphs:
+        pr = intersect(*children_polys)
+        pr = project_poly(pr, range(pr.dim))
+        regions.append(pr)
+        solutions.append(s)
+    return _combine(regions, solutions, x)
+
+
+def _combine(regions, solutions, x):
+    if len(solutions) == 0:
+        raise RuntimeError("No solutions to combine...")
+    if len(solutions) == 1:
+        return list(solutions[0])
+    complements = [r.complement() for r in regions]
+    combined = [PolyUnion(list(s) + list(rc))
+                for s, rc in zip(solutions, complements)]
+    widths = [len(c) for c in combined]
+    if len(widths) > 3 and sum(widths) > 20:
+        raise RuntimeError(f"Too many solutions to combine. {widths}")
+    logger.debug("combine widths: %s", widths)
+    red_lengths = [len(rc) for rc in complements]
+    return intersection_iter(combined, red_lengths, np.asarray(x))
+
+
+def intersection_iter(pus: List[PolyUnion], red_lengths, central_point):
+    """Lazy DFS over the product of unions with pruning
+    (intersection.jl:55-151): a branch dies as soon as the partial
+    intersection misses the central point's closure or is empty; the
+    all-complements leaf combination (red zone) is excluded."""
+    N = len(pus)
+    full = [len(pu) for pu in pus]
+    central = np.asarray(central_point, dtype=np.float64)
+
+    def rec(depth, parent_poly, idxs):
+        if depth == N:
+            redzone = all(idx >= full[d] - red_lengths[d]
+                          for d, idx in enumerate(idxs))
+            if not redzone:
+                yield parent_poly
+            return
+        for i, p in enumerate(pus[depth].polys):
+            cur = p if parent_poly is None else intersect(parent_poly, p)
+            METRICS.bump("intersection_nodes")
+            if not cur.closure().contains(central, tol=1e-6):
+                continue
+            if setops.is_empty(cur):
+                continue
+            yield from rec(depth + 1, cur, idxs + [i])
+
+    yield from rec(0, None, [])
+
+
+# --------------------------------------------------------------------------
+#  QEP assembly + solve — avi.jl:205-377, 382-444
+# --------------------------------------------------------------------------
+
+def create_labeled_gavi_from_qp(qpn: QPNet, pid: int,
+                                solution_graphs: Dict[int, Poly]):
+    """Per-player block with labeled variables Z = [x; ξᵢ; λᵢ; ψᵢ]
+    (avi.jl:205-251).  Matches the live reference: the ξ identity block is
+    zeroed (avi.jl:244) and ξ is pinned by the consensus top rows instead."""
+    dvars = qpn.decision_inds(pid)
+    n_dec = len(dvars)
+    qp = qpn.qps[pid]
+    n_total = qp.f.Q.shape[1]
+
+    labels: Dict[str, int] = {}
+    for i in range(n_total):
+        labels[f"x_{i}"] = i
+    for e, i in enumerate(dvars):
+        labels[f"xi_{pid}_{i}"] = n_total + e
+    total = n_total + n_dec
+
+    blocks_A, blocks_l, blocks_u = [], [], []
+    for ci in qp.constraint_indices:
+        c = qpn.constraints[ci].poly
+        for i in range(c.m):
+            labels[f"lam_{pid}_{ci}_{i}"] = total + i
+        total += c.m
+        blocks_A.append(c.A)
+        blocks_l.append(c.l)
+        blocks_u.append(c.u)
+    A_i = np.vstack(blocks_A) if blocks_A else np.zeros((0, n_total))
+    l_i = np.concatenate(blocks_l) if blocks_l else np.zeros(0)
+    u_i = np.concatenate(blocks_u) if blocks_u else np.zeros(0)
+
+    blocks_A, blocks_l, blocks_u = [], [], []
+    for j in sorted(qpn.network_edges[pid]):
+        Sj = solution_graphs[j]
+        for i in range(Sj.m):
+            labels[f"psi_{pid}_{j}_{i}"] = total + i
+        total += Sj.m
+        blocks_A.append(Sj.A)
+        blocks_l.append(Sj.l)
+        blocks_u.append(Sj.u)
+    A_S = np.vstack(blocks_A) if blocks_A else np.zeros((0, n_total))
+    l_S = np.concatenate(blocks_l) if blocks_l else np.zeros(0)
+    u_S = np.concatenate(blocks_u) if blocks_u else np.zeros(0)
+
+    M1 = np.hstack([
+        qp.f.Q[dvars, :],
+        0.0 * np.eye(n_dec),            # zeroed ξ block (avi.jl:244)
+        -A_i[:, dvars].T,
+        -A_S[:, dvars].T,
+    ])
+    q1 = qp.f.q[dvars]
+    M2 = np.vstack([A_i, A_S])
+    l2 = np.concatenate([l_i, l_S])
+    u2 = np.concatenate([u_i, u_S])
+    return SimpleNamespace(dvars=dvars, labels=labels, M1=M1, q1=q1, M2=M2,
+                           l2=l2, u2=u2)
+
+
+def combine_gavis(n: int, dec_inds, param_inds, labeled_gavis) -> GAVI:
+    """Stack per-player blocks into one GAVI over
+    Z = [x_dec; ξ…; λψ…] with ξ-consensus top rows (avi.jl:305-377)."""
+    nd = len(dec_inds)
+    total_dual_dim = 0
+    total_xi_dim = 0
+    for pid, lg in labeled_gavis.items():
+        total_dual_dim += lg.M1.shape[1] - n
+        total_xi_dim += lg.M1.shape[0]
+    xi_ranges: Dict[int, range] = {}
+    lampsi_ranges: Dict[int, range] = {}
+    off1, off2 = 0, total_xi_dim
+
+    pool = sorted(labeled_gavis.keys())
+    M_rows, N_rows, q_rows = [], [], []
+    for pid in pool:
+        lg = labeled_gavis[pid]
+        M1 = lg.M1
+        dual_dim = M1.shape[1] - n
+        xi_dim = M1.shape[0]
+        lampsi_dim = dual_dim - xi_dim
+        xi_ranges[pid] = range(off1, off1 + xi_dim)
+        lampsi_ranges[pid] = range(off2, off2 + lampsi_dim)
+        Mi = np.zeros((xi_dim, nd + total_dual_dim))
+        Mi[:, :nd] = M1[:, dec_inds]
+        Mi[:, [nd + r for r in xi_ranges[pid]]] = M1[:, n:n + xi_dim]
+        Mi[:, [nd + r for r in lampsi_ranges[pid]]] = M1[:, n + xi_dim:]
+        M_rows.append(Mi)
+        N_rows.append(M1[:, param_inds])
+        q_rows.append(lg.q1)
+        off1 += xi_dim
+        off2 += lampsi_dim
+    M = np.vstack(M_rows)
+    N = np.vstack(N_rows)
+    q = np.concatenate(q_rows)
+
+    A_rows, B_rows, l2_rows, u2_rows = [], [], [], []
+    for pid in pool:
+        lg = labeled_gavis[pid]
+        A_rows.append(lg.M2[:, dec_inds])
+        B_rows.append(lg.M2[:, param_inds])
+        l2_rows.append(lg.l2)
+        u2_rows.append(lg.u2)
+    A = np.vstack(A_rows)
+    B = np.vstack(B_rows)
+    l2 = np.concatenate(l2_rows)
+    u2 = np.concatenate(u2_rows)
+
+    top_M = np.zeros((nd, M.shape[1]))
+    top_N = np.zeros((nd, N.shape[1]))
+    top_q = np.zeros(nd)
+    for pid in pool:
+        lg = labeled_gavis[pid]
+        xr = xi_ranges[pid]
+        for di, d in enumerate(dec_inds):
+            if d in lg.dvars:
+                col = nd + xr[lg.labels[f"xi_{pid}_{d}"] - n]
+                top_M[di, col] = 1.0
+
+    M = np.vstack([top_M, M])
+    N = np.vstack([top_N, N])
+    o = np.concatenate([top_q, q])
+    l1 = np.full(len(o), -np.inf)
+    u1 = np.full(len(o), np.inf)
+    A = np.hstack([A, np.zeros((A.shape[0], total_dual_dim))])
+    return GAVI(M, N, o, l1, u1, A, B, l2, u2)
+
+
+def solve_qep(qpn: QPNet, player_pool, x, S: Dict[int, Poly]):
+    """Level Nash solve (avi.jl:382-444)."""
+    x = np.asarray(x, dtype=np.float64)
+    x_dim = len(x)
+    dec_inds = sorted(set().union(*[set(qpn.decision_inds(i))
+                                    for i in player_pool]))
+    param_inds = [i for i in range(x_dim) if i not in set(dec_inds)]
+
+    labeled = {pid: create_labeled_gavi_from_qp(qpn, pid, S)
+               for pid in player_pool}
+    gavi = combine_gavis(x_dim, dec_inds, param_inds, labeled)
+
+    w = x[param_inds]
+    z0 = np.concatenate([x[dec_inds],
+                         np.zeros(gavi.M.shape[1] - len(dec_inds))])
+    with METRICS.timer("solve_gavi"):
+        z, status = solve_gavi(gavi, z0, w)
+    METRICS.bump("qep_solves")
+    if status != Status.SUCCESS:
+        raise RuntimeError(
+            f"AVI solve error. This might be because one of the qps "
+            f"{sorted(player_pool)} is unbounded or ill-conditioned.")
+
+    x_opt = x.copy()
+    x_opt[dec_inds] = z[:len(dec_inds)]
+    x_opt[param_inds] = w
+    return x_opt
+
+
+# --------------------------------------------------------------------------
+#  solve_base — algorithm.jl:1-127
+# --------------------------------------------------------------------------
+
+def _approx_vec(a, b):
+    """Julia's isapprox for vectors: ‖a−b‖ ≤ rtol·max(‖a‖, ‖b‖)."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    rtol = math.sqrt(np.finfo(np.float64).eps)
+    return np.linalg.norm(a - b) <= rtol * max(np.linalg.norm(a),
+                                               np.linalg.norm(b), 1e-300)
+
+
+def solve_base(qpn: QPNet, x_init, request=frozenset(),
+               relaxable_inds=frozenset(), level: int = 1,
+               proj_vectors: Optional[List[np.ndarray]] = None,
+               rng: Optional[np.random.Generator] = None):
+    if rng is None:
+        rng = np.random.default_rng()
+    if proj_vectors is None:
+        proj_vectors = []
+    x = np.asarray(x_init, dtype=np.float64).copy()
+    try:
+        if level == 1 and qpn.options.debug_visualize:
+            qpn.visualization_function(x)
+        if level == 1 and not proj_vectors:
+            for _ in range(qpn.options.num_projections):
+                proj_vectors.append(rng.standard_normal(len(x)))
+        for iters in range(1, qpn.options.max_iters + 1):
+            proj_vals = np.array([x @ v for v in proj_vectors])
+            logger.debug("Iteration %d at level %d. %s", iters, level,
+                         proj_vals)
+            if qpn.options.check_for_cycling:
+                if qpn.options.num_projections == 0:
+                    raise RuntimeError(
+                        "Cycling check requested, but num_projections == 0.")
+                cache = qpn.iterate_cache.setdefault(level, [])
+                if any(_approx_vec(proj_vals, prev) for prev in cache):
+                    raise RuntimeError(
+                        "Cycling detected (solution iterate returned to a "
+                        "previous value). Try check_convexity = true.")
+                cache.append(proj_vals)
+
+            if level < qpn.num_levels():
+                ret_low = solve_base(qpn, x, request, relaxable_inds,
+                                     level=level + 1,
+                                     proj_vectors=proj_vectors, rng=rng)
+                if not ret_low.solved:
+                    return SimpleNamespace(solved=False, x_fail=x, x_opt=None,
+                                           Sol=None)
+                S = ret_low.Sol
+                x = np.asarray(ret_low.x_opt)
+            else:
+                S: Dict[int, PolyUnion] = {}
+
+            players = sorted(qpn.network_depth_map[level])
+            child_level_players = sorted(
+                set().union(*[qpn.network_edges[i] for i in players]))
+            results = [
+                process_qp(qpn, pid, x, S,
+                           exploration_vertices=qpn.options.exploration_vertices,
+                           rng=rng)
+                for pid in players]
+
+            equilibrium = True
+            subpiece_assignments = {i: S[i][0] for i in child_level_players}
+            subpiece_ids = {i: 0 for i in child_level_players}
+
+            if any(r.failed for r in results):
+                return SimpleNamespace(solved=False, x_fail=x, x_opt=None,
+                                       Sol=None)
+
+            for pid, r in zip(players, results):
+                if not r.solution:
+                    equilibrium = False
+                    if level < qpn.num_levels():
+                        for child_id, sp_id in r.subpiece_assignments.items():
+                            # later players overwrite earlier ones, like the
+                            # reference (algorithm.jl:73-81)
+                            subpiece_assignments[child_id] = S[child_id][sp_id]
+                            subpiece_ids[child_id] = sp_id
+                else:
+                    S[pid] = (setops.remove_subsets(r.S)
+                              if level in qpn.options.levels_to_remove_subsets
+                              else r.S)
+                    if S[pid] is not None:
+                        logger.debug("Solution graph for node %d has %d "
+                                     "pieces.", pid, len(S[pid]))
+
+            if not equilibrium:
+                logger.debug("No equilibrium at level %d; QEP with subpieces "
+                             "%s", level, subpiece_ids)
+                try:
+                    xnew = solve_qep(qpn, players, x, subpiece_assignments)
+                    if np.linalg.norm(xnew - x) < 1e-4:
+                        raise RuntimeError(
+                            "Detected disagreement in solution status between "
+                            "qp solution processor and equilibrium solver.\n"
+                            "Check the convexity and conditioning of your QPs.")
+                    x = xnew
+                    METRICS.bump("equilibrium_steps")
+                    if qpn.options.debug_visualize:
+                        qpn.visualization_function(x)
+                except RuntimeError:
+                    raise
+                continue
+            else:
+                if level == 1:
+                    for k in qpn.iterate_cache:
+                        qpn.iterate_cache[k] = []
+                return SimpleNamespace(solved=True, x_opt=x, Sol=S,
+                                       identified_request=set(),
+                                       x_alts=[], x_fail=None)
+        raise RuntimeError("Can't find solution")
+    except (RuntimeError, ValueError, AssertionError) as err:
+        for k in qpn.iterate_cache:
+            qpn.iterate_cache[k] = []
+        logger.error("%s", err)
+        return SimpleNamespace(solved=False, x_fail=x, x_opt=None, Sol=None,
+                               error=err)
+
+
+def solve(qpn: QPNet, x_init=None, parent_level_request=frozenset(),
+          relaxable_inds=frozenset(), level: int = 1,
+          proj_vectors=None, rng=None, seed: int = 1):
+    """Entry point (requests.jl:1-22).  The request-negotiation state machine
+    in the reference is dead code behind an early return (requests.jl:22) —
+    solve delegates directly to solve_base."""
+    if x_init is None:
+        x_init = qpn.default_initialization
+    if rng is None:
+        rng = np.random.default_rng(seed)
+    METRICS.reset()
+    qpn.metrics = METRICS
+    with METRICS.timer("solve"):
+        return solve_base(qpn, x_init, parent_level_request, relaxable_inds,
+                          level=level, proj_vectors=proj_vectors, rng=rng)

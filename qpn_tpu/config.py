@@ -1,0 +1,69 @@
+"""Global numeric configuration for the TPU-native QP-Network framework.
+
+The reference implementation (QuadraticProgramNetworks.jl) computes everything in
+Float64 on CPU (OSQP at eps 1e-8, PATH at 1e-10 -- see /root/reference/src/avi.jl:66
+and sets.jl:616-618).  On TPU the MXU natively computes in f32/bf16; f64 is
+software-emulated and slow.  We therefore make the working dtype configurable:
+
+* ``dtype = float64`` (default): bit-for-bit tolerance parity with the reference.
+  Used for the equilibrium core, where tolerances down to 1e-10 matter.
+* ``dtype = float32``: fast screening paths (bulk emptiness pre-checks, piece
+  batch filtering) that are re-verified at f64.
+
+jax x64 must be enabled before any jax array is created, so this module is
+imported first by ``qpn_tpu/__init__.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402  (after x64 flag)
+import numpy as np  # noqa: E402
+
+
+@dataclasses.dataclass
+class NumericConfig:
+    # Working dtype of the equilibrium core.
+    dtype: np.dtype = np.float64
+    # Screening dtype for bulk prefilters (results always re-checked at `dtype`).
+    screen_dtype: np.dtype = np.float32
+    # Row-count bucket sizes used when padding ragged polyhedron batches to
+    # static shapes (bounds jit recompilation; see geometry/batched.py).
+    row_buckets: tuple = (8, 16, 32, 64, 128, 256, 512, 1024)
+    # Dimension buckets for the variable axis.
+    dim_buckets: tuple = (4, 8, 16, 32, 64, 128, 256)
+    # Large-but-finite stand-in for Inf inside kernels that cannot tolerate it.
+    big: float = 1e20
+
+
+CONFIG = NumericConfig()
+
+
+def bucket(n: int, buckets) -> int:
+    """Smallest bucket >= n (last bucket grows by doubling if exceeded)."""
+    if n <= 0:
+        return buckets[0]
+    for b in buckets:
+        if n <= b:
+            return b
+    b = buckets[-1]
+    while b < n:
+        b *= 2
+    return b
+
+
+def row_bucket(n: int) -> int:
+    return bucket(n, CONFIG.row_buckets)
+
+
+def dim_bucket(n: int) -> int:
+    return bucket(n, CONFIG.dim_buckets)
+
+
+def asdtype(x):
+    return jnp.asarray(x, dtype=CONFIG.dtype)

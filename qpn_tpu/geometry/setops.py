@@ -1,0 +1,423 @@
+"""Batched polyhedral set operations (emptiness, membership, subset,
+implicit bounds) — each phrased as a batch of small LPs/QPs dispatched to the
+vmapped ADMM kernel in ``ops/batch_qp.py``.
+
+This module replaces the reference's ten OSQP call sites with four batched
+primitives:
+
+* :func:`exemplar_batch` — the ε-inflation feasibility LP (sets.jl:591-642)
+  honoring *strict* inequality rows via the dual-activity check.
+* :func:`contains_batch` — membership incl. partial-x membership
+  (sets.jl:820-848), reformulated as ε-inflation (same answer, no reliance on
+  infeasibility certificates).
+* :func:`support_batch` — min/max of linear directions over polys; backs
+  ``issubset`` (sets.jl:377-407) and ``implicit_bounds`` (sets.jl:660-713).
+* :func:`remove_subsets` — the O(n²) pairwise-containment prune
+  (sets.jl:889-905) as one all-pairs batch, with the reference's *serial*
+  tie-break preserved on host (its threading bug note documents why the
+  tie-break must stay deterministic).
+
+Ragged batches are grouped by (dim, row-bucket) so jit recompiles stay bounded.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..config import row_bucket
+from ..ops import batch_qp
+from .poly import Poly, PolyUnion
+
+_INF = np.inf
+
+
+# --------------------------------------------------------------------------
+#  Padding helpers
+# --------------------------------------------------------------------------
+
+def _pad_rows(A, l, u, m_pad):
+    m, n = A.shape
+    if m == m_pad:
+        mask = np.ones(m, dtype=bool)
+        return A, l, u, mask
+    Ap = np.zeros((m_pad, n))
+    lp = np.full(m_pad, -_INF)
+    up = np.full(m_pad, _INF)
+    Ap[:m] = A
+    lp[:m] = l
+    up[:m] = u
+    mask = np.zeros(m_pad, dtype=bool)
+    mask[:m] = True
+    return Ap, lp, up, mask
+
+
+def _group_indices(shapes):
+    groups = defaultdict(list)
+    for i, s in enumerate(shapes):
+        groups[s].append(i)
+    return groups
+
+
+# --------------------------------------------------------------------------
+#  exemplar / emptiness
+# --------------------------------------------------------------------------
+
+def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2):
+    """Batched ε-inflation feasibility check (sets.jl:591-642).
+
+    For each poly solves  min ε  s.t. Ax + ε ≥ l, −Ax + ε ≥ −u  and decides:
+    ε* > tol ⇒ empty; |ε*| ≤ tol ⇒ empty iff a *strict* bound is active (dual
+    nonzero on an open row); else nonempty with ``example = x*``.
+
+    Returns (empty: bool array, examples: list of x or None).
+    """
+    B = len(polys)
+    empty = np.zeros(B, dtype=bool)
+    examples: List[Optional[np.ndarray]] = [None] * B
+    if B == 0:
+        return empty, examples
+
+    # group by (n_dim, bucketed 2m rows)
+    shapes = [(p.dim, row_bucket(max(2 * p.m, 2))) for p in polys]
+    for (n, mp), idxs in _group_indices(shapes).items():
+        Ps, qs, As, ls, us, masks = [], [], [], [], [], []
+        for i in idxs:
+            p = polys[i]
+            m = p.m
+            # vars: [x (n); eps] ; rows: [A x + eps >= l ; -A x + eps >= -u]
+            AA = np.zeros((mp, n + 1))
+            AA[:m, :n] = p.A
+            AA[m:2 * m, :n] = -p.A
+            AA[:2 * m, n] = 1.0
+            ll = np.full(mp, -_INF)
+            uu = np.full(mp, _INF)
+            ll[:m] = np.where(np.isfinite(p.l), p.l, -_INF)
+            ll[m:2 * m] = np.where(np.isfinite(p.u), -p.u, -_INF)
+            # rows with infinite bound are vacuous: mask them off
+            mask = np.zeros(mp, dtype=bool)
+            mask[:m] = np.isfinite(p.l)
+            mask[m:2 * m] = np.isfinite(p.u)
+            AA[~mask] = 0.0
+            ll[~mask] = -_INF
+            q = np.zeros(n + 1)
+            q[n] = 1.0
+            Ps.append(np.zeros((n + 1, n + 1)))
+            qs.append(q)
+            As.append(AA)
+            ls.append(ll)
+            us.append(uu)
+            masks.append(mask)
+        sol = batch_qp.solve_qp_batch(
+            np.array(Ps), np.array(qs), np.array(As), np.array(ls),
+            np.array(us), np.array(masks))
+        X = np.asarray(sol.x)
+        Y = np.asarray(sol.y)
+        St = np.asarray(sol.status)
+        for k, i in enumerate(idxs):
+            p = polys[i]
+            m = p.m
+            if m == 0:
+                empty[i] = False
+                examples[i] = np.zeros(p.dim)
+                continue
+            if St[k] == batch_qp.DUAL_INFEASIBLE:
+                # eps unbounded below ⇒ strictly feasible
+                empty[i] = False
+                examples[i] = X[k, :p.dim]
+                continue
+            eps = X[k, p.dim]
+            x = X[k, :p.dim]
+            if eps > tol or St[k] == batch_qp.PRIMAL_INFEASIBLE:
+                empty[i] = True
+            elif eps > -tol:
+                # boundary case: strict rows active ⇒ empty (sets.jl:624-641)
+                yl = Y[k, :m]
+                yu = Y[k, m:2 * m]
+                open_low = p.strict_l & np.isfinite(p.l)
+                open_hi = p.strict_u & np.isfinite(p.u)
+                act_l = np.abs(yl) > tol
+                act_u = np.abs(yu) > tol
+                if np.any(act_l & open_low) or np.any(act_u & open_hi):
+                    empty[i] = True
+                else:
+                    examples[i] = x
+            else:
+                examples[i] = x
+    return empty, examples
+
+
+def is_empty(poly: Poly, tol: float = 1e-4, x=None) -> bool:
+    """sets.jl:647-655: short-circuit on a witness point, else exemplar."""
+    if x is not None and poly.contains(np.asarray(x)[: poly.dim], tol):
+        return False
+    empty, _ = exemplar_batch([poly])
+    return bool(empty[0])
+
+
+def is_empty_batch(polys: Sequence[Poly], tol: float = 1e-4, x=None):
+    """Batched emptiness with optional shared witness point."""
+    polys = list(polys)
+    need = []
+    out = np.zeros(len(polys), dtype=bool)
+    for i, p in enumerate(polys):
+        if x is not None and p.contains(np.asarray(x)[: p.dim], tol):
+            out[i] = False
+        else:
+            need.append(i)
+    if need:
+        empty, _ = exemplar_batch([polys[i] for i in need])
+        for k, i in enumerate(need):
+            out[i] = empty[k]
+    return out
+
+
+# --------------------------------------------------------------------------
+#  membership (incl. partial x) — sets.jl:820-848
+# --------------------------------------------------------------------------
+
+def contains_batch(polys: Sequence[Poly], xs, tol: float = 1e-6):
+    """For each (poly, x): membership. len(x) may be < dim (partial x): the
+    remaining coordinates are existentially quantified (an LP)."""
+    B = len(polys)
+    out = np.zeros(B, dtype=bool)
+    lp_idx = []
+    for i, p in enumerate(polys):
+        x = np.asarray(xs[i], dtype=np.float64)
+        if x.shape[0] == p.dim:
+            out[i] = p.contains(x, tol)
+        else:
+            lp_idx.append(i)
+    if not lp_idx:
+        return out
+    # ε-inflation feasibility over the free tail coordinates
+    slices = []
+    for i in lp_idx:
+        p = polys[i]
+        x = np.asarray(xs[i], dtype=np.float64)
+        nfix = x.shape[0]
+        shift = p.A[:, :nfix] @ x
+        slices.append(Poly(p.A[:, nfix:], p.l - shift, p.u - shift,
+                           p.strict_l, p.strict_u, normalize=False))
+    empty, _ = exemplar_batch(slices, tol=max(tol, 1e-6))
+    for k, i in enumerate(lp_idx):
+        out[i] = not empty[k]
+    return out
+
+
+def contains(x, poly: Poly, tol: float = 1e-6) -> bool:
+    return bool(contains_batch([poly], [np.asarray(x)], tol)[0])
+
+
+# --------------------------------------------------------------------------
+#  support values — backs issubset and implicit_bounds
+# --------------------------------------------------------------------------
+
+def support_batch(polys: Sequence[Poly], dirs: Sequence[np.ndarray]):
+    """For each (poly, direction) pair: minimize d'x over the closed poly.
+
+    Returns (vals, status) where vals[i] = min, -inf if unbounded,
+    +inf if the poly is empty (primal infeasible)."""
+    B = len(polys)
+    vals = np.zeros(B)
+    stat = np.zeros(B, dtype=int)
+    if B == 0:
+        return vals, stat
+    shapes = [(p.dim, row_bucket(max(p.m, 1))) for p in polys]
+    for (n, mp), idxs in _group_indices(shapes).items():
+        Ps, qs, As, ls, us, masks = [], [], [], [], [], []
+        for i in idxs:
+            p = polys[i]
+            A, l, u, mask = _pad_rows(p.A, p.l, p.u, mp)
+            Ps.append(np.zeros((n, n)))
+            qs.append(np.asarray(dirs[i], dtype=np.float64))
+            As.append(A)
+            ls.append(l)
+            us.append(u)
+            masks.append(mask)
+        sol = batch_qp.solve_qp_batch(
+            np.array(Ps), np.array(qs), np.array(As), np.array(ls),
+            np.array(us), np.array(masks))
+        OBJ = np.asarray(sol.obj)
+        St = np.asarray(sol.status)
+        for k, i in enumerate(idxs):
+            stat[i] = St[k]
+            if St[k] == batch_qp.DUAL_INFEASIBLE:
+                vals[i] = -_INF
+            elif St[k] == batch_qp.PRIMAL_INFEASIBLE:
+                vals[i] = _INF
+            else:
+                vals[i] = OBJ[k]
+    return vals, stat
+
+
+def issubset_pairs(pairs, tol: float = 1e-6):
+    """Batched ``P1 ⊆ P2`` for a list of (P1, P2) pairs (sets.jl:377-407).
+
+    P1 ⊆ P2 iff for every finite bound row (a, b, dir) of P2 the support of P1
+    satisfies min dir·a'x ≥ dir·b − tol.  Matches the reference exactly,
+    including its quirk that an *empty* P1 whose support LP reports
+    infeasibility yields False."""
+    queries = []          # (pair_idx, dir_vec, bound, poly1)
+    for pi, (P1, P2) in enumerate(pairs):
+        for i in range(P2.m):
+            if np.isfinite(P2.l[i]):
+                queries.append((pi, P2.A[i], P2.l[i], 1.0, P1))
+            if np.isfinite(P2.u[i]):
+                queries.append((pi, -P2.A[i], P2.u[i], -1.0, P1))
+    out = np.ones(len(pairs), dtype=bool)
+    if not queries:
+        return out
+    vals, stat = support_batch([q[4] for q in queries],
+                               [q[1] for q in queries])
+    for (pi, d, bound, sgn, _), v, s in zip(queries, vals, stat):
+        if s not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
+            out[pi] = False          # unbounded below / infeasible
+        elif v < sgn * bound - tol:
+            out[pi] = False
+    return out
+
+
+def issubset(P1: Poly, P2: Poly, tol: float = 1e-6) -> bool:
+    return bool(issubset_pairs([(P1, P2)], tol)[0])
+
+
+def issubset_union(P1: Poly, PU: PolyUnion, tol: float = 1e-6) -> bool:
+    """Conservative union-subset test (sets.jl:1015-1018): 'true' is correct,
+    'false' may be a false negative."""
+    return any(issubset(P1, P, tol) for P in PU)
+
+
+# --------------------------------------------------------------------------
+#  implicit bounds / intrinsic dimension — sets.jl:660-729
+# --------------------------------------------------------------------------
+
+class EmptySetError(RuntimeError):
+    pass
+
+
+def implicit_bounds(poly: Poly, tol: float = 1e-4):
+    """Rows whose min and max over the poly coincide are implicit equalities.
+    Raises EmptySetError when the poly is empty (sets.jl:683-684)."""
+    m = poly.m
+    implicitly_equality = np.zeros(m, dtype=bool)
+    vals = np.full(m, _INF)
+    todo = []
+    for i in range(m):
+        if np.isclose(poly.l[i], poly.u[i], atol=tol):
+            implicitly_equality[i] = True
+            vals[i] = 0.5 * (poly.l[i] + poly.u[i])
+        else:
+            todo.append(i)
+    if todo:
+        polys = [poly] * (2 * len(todo))
+        dirs = [poly.A[i] for i in todo] + [-poly.A[i] for i in todo]
+        v, s = support_batch(polys, dirs)
+        for k, i in enumerate(todo):
+            lo_v, lo_s = v[k], s[k]
+            hi_v, hi_s = v[len(todo) + k], s[len(todo) + k]
+            if lo_s == batch_qp.PRIMAL_INFEASIBLE or hi_s == batch_qp.PRIMAL_INFEASIBLE:
+                raise EmptySetError("Empty set")
+            val_low = -_INF if lo_s == batch_qp.DUAL_INFEASIBLE else lo_v
+            val_hi = _INF if hi_s == batch_qp.DUAL_INFEASIBLE else -hi_v
+            if np.isfinite(val_low) and np.isfinite(val_hi) and \
+                    np.isclose(val_low, val_hi, atol=tol):
+                implicitly_equality[i] = True
+                vals[i] = 0.5 * (val_low + val_hi)
+    return implicitly_equality, vals
+
+
+def intrinsic_dim(poly: Poly, tol: float = 1e-4) -> int:
+    """embedded_dim − rank of implicit-equality rows (sets.jl:718-729)."""
+    try:
+        impl, _ = implicit_bounds(poly, tol)
+    except EmptySetError:
+        return 0
+    Aim = poly.A[impl]
+    r = int(np.linalg.matrix_rank(Aim)) if Aim.size else 0
+    return poly.dim - r
+
+
+def eliminate_variables(poly: Poly, indices, xz=None) -> Poly:
+    """Substitute out variables pinned by implicit equalities (sets.jl:731-814),
+    with the same rank-deficiency fallback: columns that cannot be pinned are
+    kept. Pure pivoted-QR elimination on host (setup-scale, not hot)."""
+    elim = np.asarray(sorted(indices), dtype=int)
+    d = poly.dim
+    keep = np.array([i for i in range(d) if i not in set(elim.tolist())], dtype=int)
+    if len(elim) == 0:
+        return poly
+    try:
+        impl, vals = implicit_bounds(poly)
+    except EmptySetError:
+        return poly
+    A, l, u, sl, su = poly.vectorize()
+    ineq = ~impl
+    Ae_elim = A[impl][:, elim]
+    rank = int(np.linalg.matrix_rank(Ae_elim)) if Ae_elim.size else 0
+    if rank < len(elim):
+        # pick an eliminable column subset — greedy rank-revealing sweep
+        # (the reference's pivoted-QR fallback, sets.jl:763-796)
+        cols = []
+        cur = np.zeros((Ae_elim.shape[0], 0))
+        for j in range(Ae_elim.shape[1]):
+            cand = np.hstack([cur, Ae_elim[:, j:j + 1]])
+            if np.linalg.matrix_rank(cand) > cur.shape[1]:
+                cur = cand
+                cols.append(j)
+        new_elim = elim[cols]
+        keep = np.array(sorted(set(range(d)) - set(new_elim.tolist())), dtype=int)
+        elim = new_elim
+        if len(elim) == 0:
+            return poly
+        Ae_elim = A[impl][:, elim]
+    Ae_keep = A[impl][:, keep]
+    Ai_elim = A[ineq][:, elim]
+    Ai_keep = A[ineq][:, keep]
+    rhs = vals[impl]
+    # x_elim = Ad (rhs − Ae_keep x_keep), Ad = pseudo-inverse
+    Ad = np.linalg.pinv(Ae_elim)
+    P = np.eye(Ae_elim.shape[0]) - Ae_elim @ Ad
+    Ae = P @ Ae_keep
+    be = P @ rhs
+    Ai = Ai_keep - Ai_elim @ Ad @ Ae_keep
+    ci = Ai_elim @ Ad @ rhs
+    A_new = np.vstack([Ae, Ai])
+    l_new = np.concatenate([be, l[ineq] - ci])
+    u_new = np.concatenate([be, u[ineq] - ci])
+    sl_new = np.concatenate([sl[impl], sl[ineq]])
+    su_new = np.concatenate([su[impl], su[ineq]])
+    # NOTE: result stays in the full embedded space on the `keep` coordinates
+    return Poly(A_new, l_new, u_new, sl_new, su_new)
+
+
+# --------------------------------------------------------------------------
+#  remove_subsets — sets.jl:889-905
+# --------------------------------------------------------------------------
+
+def remove_subsets(pu: Optional[PolyUnion], tol: float = 1e-6):
+    """Prune polys contained in another member.  All pairwise containment LPs
+    run as ONE batch; the keep/remove decision then replays the reference's
+    serial loop so the tie-break for mutually-contained sets is identical
+    (the reference disabled threading over exactly this, sets.jl:890-893)."""
+    if pu is None:
+        return None
+    N = len(pu)
+    if N <= 1:
+        return pu
+    pairs = [(pu[i], pu[j]) for i in range(N) for j in range(N) if i != j]
+    flags = issubset_pairs(pairs, tol)
+    S = np.zeros((N, N), dtype=bool)
+    k = 0
+    for i in range(N):
+        for j in range(N):
+            if i != j:
+                S[i, j] = flags[k]
+                k += 1
+    is_subset = np.zeros(N, dtype=bool)
+    for i in range(N):
+        if any(S[i, j] and not is_subset[j] for j in range(N) if j != i):
+            is_subset[i] = True
+    return PolyUnion([pu[i] for i in range(N) if not is_subset[i]])

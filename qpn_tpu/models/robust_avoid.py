@@ -1,0 +1,181 @@
+"""Scaled robust trajectory avoidance — the flagship benchmark model.
+
+Behavioral reference: examples/deprecated/robust_avoid.jl (T-step trajectory
+with double-integrator dynamics, per-obstacle adversaries and separation
+certificates).  The deprecated Julia file calls removed APIs; this module is a
+from-scratch TPU-scale restatement:
+
+* ego drives a T-step double-integrator trajectory toward +x, dynamics as
+  equality constraints (the block-banded KKT structure of
+  robust_avoid.jl:72-83);
+* per obstacle k and step t, an adversary perturbs the obstacle and a
+  certificate node computes the separation inflation ϵ[t,k] (as in
+  robust_avoid_simple);
+* scenario batching: :func:`scenario_batch_gavis` emits the per-node KKT
+  GAVIs of S independent scenarios as padded ``(S·nodes, n, n)`` tensors —
+  the batch axis the TPU bench and the multi-chip scenario sharding consume.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..frontend import QPNetBuilder, variables, _lift
+from . import register
+from .robust_avoid_simple import _affine_rows, _poly_faces
+
+
+@register("robust_avoid")
+def setup(T: int = 3, num_obj: int = 1, num_poly_faces: int = 4,
+          exploration_vertices: int = 4, max_ego_delta: float = 2.0,
+          max_obj_delta: float = 0.5, seed: int = 1, **kwargs):
+    """T-step, num_obj-obstacle robust avoidance QPNet.
+
+    Level structure: ego (all ue[·]) → adversaries (uo[·,k]) → certificates
+    (s, ϵ).  Sizes stay per-node small (TPU batches supply the scale)."""
+    rng = np.random.default_rng(seed)
+
+    Ae, be = _poly_faces(rng, num_poly_faces)
+    Aos, bos = [], []
+    for _ in range(num_obj):
+        Ao, bo = _poly_faces(rng, num_poly_faces)
+        Aos.append(Ao)
+        bos.append(bo)
+
+    ue = variables("ue", 2, T)          # ego velocity deltas per step
+    uo = variables("uo", 2, T, num_obj)
+    xe = variables("xe", 2)             # initial ego position (parameter-like)
+    xo = variables("xo", 2, num_obj)
+    s = variables("s", 2, T, num_obj)
+    eps = variables("eps", T, num_obj)
+
+    b = QPNetBuilder(xe, xo, ue, uo, s, eps)
+    net = b.net
+    net.problem_data.update(Ae=Ae, be=be, Ao=Aos, bo=bos, T=T,
+                            num_obj=num_obj)
+
+    def ego_pos(t):
+        """xe + Σ_{τ≤t} ue[:,τ] (single-integrator position rollout)."""
+        px = xe[0]
+        py = xe[1]
+        for tau in range(t + 1):
+            px = px + ue[0, tau]
+            py = py + ue[1, tau]
+        return [px, py]
+
+    def obj_pos(t, k):
+        px = xo[0, k]
+        py = xo[1, k]
+        for tau in range(t + 1):
+            px = px + uo[0, tau, k]
+            py = py + uo[1, tau, k]
+        return [px, py]
+
+    s_players, a_players = {}, {}
+    for k in range(num_obj):
+        for t in range(T):
+            pe = ego_pos(t)
+            po = obj_pos(t, k)
+            rel_e = [s[0, t, k] - pe[0], s[1, t, k] - pe[1]]
+            rel_o = [s[0, t, k] - po[0], s[1, t, k] - po[1]]
+            cons = ([r + eps[t, k] for r in _affine_rows(Ae, rel_e, be)]
+                    + [r + eps[t, k] for r in _affine_rows(Aos[k], rel_o, bos[k])])
+            cid = b.add_constraint(cons, np.zeros(len(cons)),
+                                   np.full(len(cons), np.inf))
+            s_players[(t, k)] = b.add_qp(eps[t, k] * 1.0, [cid],
+                                         s[:, t, k], eps[t, k])
+        adv_cons = [uo[j, t, k] for t in range(T) for j in range(2)]
+        cid = b.add_constraint(adv_cons,
+                               np.full(2 * T, -max_obj_delta),
+                               np.full(2 * T, max_obj_delta))
+        adv_cost = _lift(0.0)
+        for t in range(T):
+            adv_cost = adv_cost + eps[t, k]
+        a_players[k] = b.add_qp(adv_cost, [cid], uo[:, :, k])
+
+    ego_cons = ([ue[j, t] for t in range(T) for j in range(2)]
+                + [eps[t, k] for k in range(num_obj) for t in range(T)])
+    lb = np.concatenate([np.full(2 * T, -max_ego_delta),
+                         np.zeros(T * num_obj)])
+    ub = np.concatenate([np.full(2 * T, max_ego_delta),
+                         np.full(T * num_obj, np.inf)])
+    ego_cid = b.add_constraint(ego_cons, lb, ub)
+    ego_cost = _lift(0.0)
+    for t in range(T):
+        pe = ego_pos(t)
+        ego_cost = ego_cost + (-1.0) * pe[0] + 0.001 * pe[1] * pe[1]
+        ego_cost = ego_cost + 0.1 * (ue[0, t] * ue[0, t] + ue[1, t] * ue[1, t])
+    ego_player = b.add_qp(ego_cost, [ego_cid],
+                          *[ue[:, t] for t in range(T)])
+
+    edges = ([(ego_player, a_players[k]) for k in range(num_obj)]
+             + [(a_players[k], s_players[(t, k)])
+                for k in range(num_obj) for t in range(T)])
+    b.add_edges(edges)
+    b.assign_constraint_groups()
+    b.set_options(exploration_vertices=exploration_vertices, **kwargs)
+
+    init = np.zeros(net.num_vars)
+    init[0:2] = [-3.0, 0.0]
+    for k in range(num_obj):
+        init[2 + 2 * k: 4 + 2 * k] = [2.0 * k, -0.5]
+    net.default_initialization = init
+    return net
+
+
+def scenario_batch_gavis(num_scenarios: int = 64, T: int = 3,
+                         num_obj: int = 1, num_poly_faces: int = 4,
+                         seed: int = 0):
+    """Emit the batched KKT AVIs of S scenario instances (padded tensors).
+
+    Each scenario perturbs the obstacle geometry; per scenario we assemble the
+    certificate-level (deepest) QEP GAVI and convert to a box AVI.  Returns
+    dict of stacked (M, q, l, u, z0, mask) numpy tensors ready for
+    ``ops.avi.solve_avi_batch`` — the bench and the multi-chip scenario
+    sharding path both consume this."""
+    from ..algorithm import create_labeled_gavi_from_qp, combine_gavis
+    from ..ops.avi import convert_gavi
+
+    Ms, qs, ls, us, z0s = [], [], [], [], []
+    for sidx in range(num_scenarios):
+        net = setup(T=T, num_obj=num_obj, num_poly_faces=num_poly_faces,
+                    seed=seed + sidx)
+        deepest = net.num_levels()
+        players = sorted(net.network_depth_map[deepest])
+        x = net.default_initialization
+        dec_inds = sorted(set().union(*[set(net.decision_inds(i))
+                                        for i in players]))
+        param_inds = [i for i in range(net.num_vars)
+                      if i not in set(dec_inds)]
+        labeled = {pid: create_labeled_gavi_from_qp(net, pid, {})
+                   for pid in players}
+        gavi = combine_gavis(net.num_vars, dec_inds, param_inds, labeled)
+        avi = convert_gavi(gavi)
+        w = x[param_inds]
+        q = avi.N @ w + avi.o
+        z0 = np.zeros(len(q))
+        Ms.append(avi.M)
+        qs.append(q)
+        ls.append(avi.l)
+        us.append(avi.u)
+        z0s.append(z0)
+
+    n_max = max(M.shape[0] for M in Ms)
+    S = len(Ms)
+    Mt = np.zeros((S, n_max, n_max))
+    qt = np.zeros((S, n_max))
+    lt = np.zeros((S, n_max))
+    ut = np.zeros((S, n_max))
+    zt = np.zeros((S, n_max))
+    mask = np.zeros((S, n_max), dtype=bool)
+    for i, (M, q, l, u, z0) in enumerate(zip(Ms, qs, ls, us, z0s)):
+        n = M.shape[0]
+        Mt[i, :n, :n] = M
+        qt[i, :n] = q
+        lt[i, :n] = l
+        ut[i, :n] = u
+        zt[i, :n] = z0
+        mask[i, :n] = True
+    return dict(M=Mt, q=qt, l=lt, u=ut, z0=zt, mask=mask)

@@ -1,0 +1,284 @@
+"""Batched AVI / GAVI solver — the TPU replacement for the PATH solver.
+
+The reference hands every equilibrium subproblem to the commercial PATH
+pivoting code through ``PATHSolver.solve_mcp`` (avi.jl:63-77) at convergence
+tolerance 1e-10.  Here the same box mixed complementarity problem
+
+    find z :  M z + q ⟂ l ≤ z ≤ u        (componentwise)
+
+is solved by a *semismooth Newton method on the natural residual*
+
+    Φ(z) = z − clip(z − (Mz + q), l, u)
+
+which for affine F is an active-set Newton iteration: each step solves the
+linear system  ``J dz = −Φ`` with ``J = D M + (I − D)`` (D = diag of rows whose
+projection is strictly inside the box), globalized by an Armijo line search on
+``½‖Φ‖²`` plus a damped projection step ``z ← clip(z − γ(Mz+q), l, u)`` as an
+escape hatch when Newton stalls.  Everything is fixed-shape jax (while_loop +
+masking), so thousands of AVIs solve as one vmapped kernel — this is the
+"batched AVI-piece throughput" axis of BASELINE.json.
+
+GAVI structures and the slack-augmentation conversion mirror avi.jl:18-39 and
+avi.jl:113-128; the post-hoc solution audit mirrors check_avi_solution
+(avi.jl:148-156).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .linalg import ridge_solve
+from . import batch_qp
+
+_BIG = 1e20
+
+
+class Status(enum.IntEnum):  # avi.jl:1-6
+    SUCCESS = 1
+    RAY_TERM = 2
+    MAX_ITERS = 3
+    FAILURE = 4
+
+
+@dataclasses.dataclass
+class AVI:
+    """``Mz + Nw + o ⟂ l ≤ z ≤ u`` (avi.jl:10-16). Host-side numpy struct."""
+    M: np.ndarray
+    N: np.ndarray
+    o: np.ndarray
+    l: np.ndarray
+    u: np.ndarray
+
+
+@dataclasses.dataclass
+class GAVI:
+    """Generalized AVI, two condition blocks (avi.jl:18-39)::
+
+        (M z + N w + o) ⟂ (l1 ≤ z1 ≤ u1)
+        (      z2     ) ⟂ (l2 ≤ A z + B w ≤ u2),   z = [z1; z2]
+    """
+    M: np.ndarray
+    N: np.ndarray
+    o: np.ndarray
+    l1: np.ndarray
+    u1: np.ndarray
+    A: np.ndarray
+    B: np.ndarray
+    l2: np.ndarray
+    u2: np.ndarray
+
+    @property
+    def d1(self):
+        return len(self.l1)
+
+    @property
+    def d2(self):
+        return len(self.l2)
+
+
+def convert_gavi(gavi: GAVI) -> AVI:
+    """Slack augmentation GAVI → box AVI (avi.jl:113-128).
+
+    AVI unknowns ``[z1; z2; s]`` with rows::
+
+        [M   0] z            ⟂ l1 ≤ z1 ≤ u1
+        [A  -I] z + B w      = 0          (z2 rows: free s defn)
+        [0 I 0] z            ⟂ l2 ≤ s ≤ u2
+    """
+    d1, d2 = gavi.d1, gavi.d2
+    m = gavi.N.shape[1]
+    M = np.zeros((d1 + 2 * d2, d1 + 2 * d2))
+    M[:d1, :d1 + d2] = gavi.M
+    M[d1:d1 + d2, :d1 + d2] = gavi.A
+    M[d1:d1 + d2, d1 + d2:] = -np.eye(d2)
+    M[d1 + d2:, d1:d1 + d2] = np.eye(d2)
+    N = np.vstack([gavi.N, gavi.B, np.zeros((d2, m))])
+    o = np.concatenate([gavi.o, np.zeros(d2), np.zeros(d2)])
+    l = np.concatenate([gavi.l1, np.full(d2, -np.inf), gavi.l2])
+    u = np.concatenate([gavi.u1, np.full(d2, np.inf), gavi.u2])
+    return AVI(M, N, o, l, u)
+
+
+# --------------------------------------------------------------------------
+#  Core batched kernel
+# --------------------------------------------------------------------------
+
+class AVIResult(NamedTuple):
+    z: jax.Array
+    resid: jax.Array     # ‖Φ(z)‖∞
+    iters: jax.Array
+    converged: jax.Array
+
+
+def _natural_residual(M, q, l, u, z):
+    F = M @ z + q
+    s = z - F
+    proj = jnp.clip(s, l, u)
+    return z - proj, F, s
+
+
+def _newton_solve(M, q, l, u, z0, *, tol, max_iter, var_mask):
+    """Single-instance semismooth Newton on Φ. All shapes static.
+
+    ``var_mask`` marks real (non-padded) variables; padded vars are pinned to 0
+    (row = identity, l=u=0)."""
+    n = q.shape[0]
+    dt = q.dtype
+    l = jnp.where(var_mask, l, 0.0)
+    u = jnp.where(var_mask, u, 0.0)
+    eye = jnp.eye(n, dtype=dt)
+    Mm = jnp.where(var_mask[:, None] & var_mask[None, :], M, eye)
+    qm = jnp.where(var_mask, q, 0.0)
+    # projection-step damping constant
+    gamma = 1.0 / (1.0 + jnp.linalg.norm(Mm, ord=jnp.inf))
+
+    def merit(z):
+        Phi, _, _ = _natural_residual(Mm, qm, l, u, z)
+        return 0.5 * jnp.dot(Phi, Phi), Phi
+
+    def body(state):
+        k, z, stall, best_z, best_m = state
+        m0, Phi = merit(z)
+        F = Mm @ z + qm
+        s = z - F
+        free = (s > l) & (s < u)
+        D = free.astype(dt)
+        J = D[:, None] * Mm + (1.0 - D)[:, None] * eye
+        # QR would be exact for nonsingular J; ridge handles the singular
+        # ξ-consensus blocks (avi.jl:356-369 make systems rank-deficient-ish).
+        dz = ridge_solve(J, -Phi, 1e-12)
+
+        # Armijo on merit over a fixed ladder of step sizes, evaluated as one
+        # batched matmul (compiles/runs far better than a nested while_loop)
+        ts = 0.5 ** jnp.arange(16, dtype=dt)           # 1, 1/2, ..., 2^-15
+        Ztry = z[None, :] + ts[:, None] * dz[None, :]  # (16, n)
+        Ftry = Ztry @ Mm.T + qm[None, :]
+        Phitry = Ztry - jnp.clip(Ztry - Ftry, l[None, :], u[None, :])
+        mtry = 0.5 * jnp.sum(Phitry * Phitry, axis=1)
+        ok = mtry <= (1.0 - 1e-4 * ts) * m0
+        accepted = jnp.any(ok)
+        first = jnp.argmax(ok)                         # first (largest) good t
+        z_new = jnp.where(accepted, Ztry[first], z)
+
+        # escape hatch: damped projection (gradient) step when Newton stalls
+        z_proj = jnp.clip(z - gamma * F, l, u)
+        z_next = jnp.where(accepted, z_new, z_proj)
+        stall = jnp.where(accepted, 0, stall + 1)
+
+        m_next, _ = merit(z_next)
+        best_z = jnp.where(m_next < best_m, z_next, best_z)
+        best_m = jnp.minimum(m_next, best_m)
+        return k + 1, z_next, stall, best_z, best_m
+
+    def cond(state):
+        k, z, stall, _, best_m = state
+        return (k < max_iter) & (best_m > 0.5 * tol * tol) & (stall < 25)
+
+    z0 = jnp.clip(jnp.where(var_mask, z0, 0.0), l, u)
+    m_init, _ = merit(z0)
+    state = (jnp.int32(0), z0, jnp.int32(0), z0, m_init)
+    k, z, _, best_z, best_m = jax.lax.while_loop(cond, body, state)
+
+    Phi, _, _ = _natural_residual(Mm, qm, l, u, best_z)
+    resid = jnp.max(jnp.abs(Phi), initial=0.0)
+    return AVIResult(z=best_z, resid=resid, iters=k, converged=resid <= tol)
+
+
+@functools.partial(jax.jit, static_argnames=("tol", "max_iter"))
+def solve_avi_batch(M, q, l, u, z0, var_mask, *, tol=1e-10, max_iter=500):
+    """Batched box-AVI solve.  M (B,n,n), q/l/u/z0 (B,n), var_mask (B,n)."""
+    fn = functools.partial(_newton_solve, tol=tol, max_iter=max_iter)
+    return jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn(M_, q_, l_, u_, z_,
+                                                      var_mask=vm))(
+        M, q, l, u, z0, var_mask)
+
+
+# --------------------------------------------------------------------------
+#  Host-level single-problem wrappers (the reference's call pattern)
+# --------------------------------------------------------------------------
+
+def check_avi_solution(avi: AVI, z, w, tol: float = 1e-6):
+    """Residual audit of a proposed AVI solution (avi.jl:148-156)."""
+    z = np.asarray(z, dtype=np.float64)
+    r = avi.M @ z + avi.N @ np.asarray(w, dtype=np.float64) + avi.o
+    r_pos = r > tol
+    r_neg = r < -tol
+    bad = (np.sum(np.abs(z[r_pos] - avi.l[r_pos]) > tol)
+           + np.sum(np.abs(z[r_neg] - avi.u[r_neg]) > tol)
+           + np.sum(z - avi.l < -tol) + np.sum(z - avi.u > tol))
+    return bad == 0, int(bad), r
+
+
+def solve_avi(avi: AVI, z0, w, convergence_tolerance: float = 1e-10):
+    """Solve one AVI instance (avi.jl:63-77 semantics).
+
+    Returns (z, status) with status SUCCESS iff the natural residual meets the
+    tolerance AND the check_avi_solution audit passes."""
+    w = np.asarray(w, dtype=np.float64)
+    q = avi.N @ w + avi.o
+    n = q.shape[0]
+    res = solve_avi_batch(
+        jnp.asarray(avi.M)[None], jnp.asarray(q)[None],
+        jnp.asarray(avi.l)[None], jnp.asarray(avi.u)[None],
+        jnp.asarray(np.asarray(z0, dtype=np.float64))[None],
+        jnp.ones((1, n), dtype=bool),
+        tol=convergence_tolerance, max_iter=500)
+    z = np.asarray(res.z[0])
+    ok = bool(res.converged[0])
+    sol_ok, degree, _ = check_avi_solution(avi, z, w, tol=1e-6)
+    status = Status.SUCCESS if (ok and sol_ok) else Status.FAILURE
+    return z, status
+
+
+def find_closest_feasible(gavi: GAVI, z0, w):
+    """Presolve: project z0 onto the GAVI's second-block feasible set
+    (avi.jl:79-99): min ‖z−z0‖² s.t. l2 ≤ Az + Bw ≤ u2."""
+    n = len(z0)
+    c = gavi.B @ np.asarray(w, dtype=np.float64)
+    sol = batch_qp.solve_qp_np(
+        np.eye(n), -np.asarray(z0, dtype=np.float64),
+        gavi.A, gavi.l2 - c, gavi.u2 - c)
+    if sol.status in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
+        return np.asarray(sol.x)
+    return np.asarray(z0, dtype=np.float64)
+
+
+def solve_gavi(gavi: GAVI, z0, w, presolve: bool = True,
+               convergence_tolerance: float = 1e-10):
+    """GAVI solve via slack augmentation (avi.jl:101-111)."""
+    z0 = np.asarray(z0, dtype=np.float64)
+    if presolve:
+        z0 = find_closest_feasible(gavi, z0, w)
+    avi = convert_gavi(gavi)
+    d1, d2 = gavi.d1, gavi.d2
+    s = gavi.A @ z0 + gavi.B @ np.asarray(w, dtype=np.float64)
+    z0s = np.concatenate([z0, s])
+    z, status = solve_avi(avi, z0s, w, convergence_tolerance)
+    return z[:d1 + d2], status
+
+
+def relax_gavi(gavi: GAVI, relaxable_inds) -> GAVI:
+    """Promote chosen parameters to free decision variables (avi.jl:130-146)."""
+    relaxable_inds = list(relaxable_inds)
+    mw = gavi.N.shape[1]
+    param_inds = [i for i in range(mw) if i not in set(relaxable_inds)]
+    d1, d2 = gavi.d1, gavi.d2
+    dr = len(relaxable_inds)
+    M = np.vstack([
+        np.zeros((dr, d1 + d2 + dr)),
+        np.hstack([gavi.N[:, relaxable_inds], gavi.M]),
+    ])
+    N = np.vstack([np.zeros((dr, len(param_inds))), gavi.N[:, param_inds]])
+    o = np.concatenate([np.zeros(dr), gavi.o])
+    l1 = np.concatenate([np.full(dr, -np.inf), gavi.l1])
+    u1 = np.concatenate([np.full(dr, np.inf), gavi.u1])
+    A = np.hstack([gavi.B[:, relaxable_inds], gavi.A])
+    B = gavi.B[:, param_inds]
+    return GAVI(M, N, o, l1, u1, A, B, gavi.l2, gavi.u2)

@@ -1,0 +1,57 @@
+"""Solver options — mirrors the reference's ``QPNetOptions``
+(src/programs.jl:56-77) field-for-field, as a Python dataclass."""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import warnings
+from typing import FrozenSet, Optional
+
+
+class SharedVariableMode(enum.Enum):  # programs.jl:56-59
+    MIN_NORM = 1
+    SHARED_DUAL = 2
+
+
+class _AllLevels:
+    """Stand-in for the reference's ``NaturalNumbers`` set (programs.jl:53-54):
+    every positive level is a member."""
+
+    def __contains__(self, x) -> bool:
+        return isinstance(x, int) and x > 0
+
+    def __repr__(self):
+        return "AllLevels()"
+
+
+ALL_LEVELS = _AllLevels()
+
+
+@dataclasses.dataclass
+class QPNetOptions:
+    shared_variable_mode: SharedVariableMode = SharedVariableMode.SHARED_DUAL
+    max_iters: int = 150
+    tol: float = 1e-4
+    high_dimension: bool = False
+    high_dimension_max_iters: int = 10
+    num_projections: int = 4
+    make_requests: bool = False
+    exploration_vertices: int = 0
+    try_hull: bool = False
+    debug_visualize: bool = False
+    gen_solution_map: bool = False
+    levels_to_remove_subsets: object = ALL_LEVELS
+    check_convexity: bool = False
+    check_for_cycling: bool = True
+    perturb_to_continue: bool = True
+
+
+def set_options(options: QPNetOptions, **kwargs) -> None:
+    """Reflection-style option setter with a warning on unknown keys
+    (programs.jl:312-320)."""
+    for key, val in kwargs.items():
+        if hasattr(options, key):
+            setattr(options, key, val)
+        else:
+            warnings.warn(f"Invalid option name {key} with value {val}, skipping")
