@@ -1,0 +1,84 @@
+"""Benchmark: batched AVI-piece throughput on the flagship robust_avoid
+scenario ensemble (the BASELINE.json primary metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+value       = AVI KKT systems solved per second on one chip, batched.
+vs_baseline = speedup vs solving the same systems one-at-a-time sequentially
+              on the same device — the stand-in for the reference's
+              single-threaded PATH loop (the reference publishes no numbers;
+              BASELINE.md documents this).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    # Prefer the real TPU; fall back to CPU if the TPU platform is absent or
+    # wedged (this image's axon tunnel can wedge on stale chip claims).
+    backend = jax.devices()[0].platform
+    import jax.numpy as jnp
+
+    from qpn_tpu.models.robust_avoid import scenario_batch_gavis
+    from qpn_tpu.ops.avi import solve_avi_batch
+
+    S = 256
+    batch = scenario_batch_gavis(num_scenarios=min(S, 64), T=2, num_obj=1,
+                                 num_poly_faces=4, seed=0)
+    # tile up to S scenarios (same shapes, distinct q via jitter)
+    reps = S // batch["M"].shape[0]
+    rng = np.random.default_rng(0)
+    M = np.tile(batch["M"], (reps, 1, 1))
+    q = np.tile(batch["q"], (reps, 1)) + 0.01 * rng.standard_normal(
+        (S, batch["q"].shape[1]))
+    l = np.tile(batch["l"], (reps, 1))
+    u = np.tile(batch["u"], (reps, 1))
+    z0 = np.tile(batch["z0"], (reps, 1))
+    mask = np.tile(batch["mask"], (reps, 1))
+
+    tol, iters = 1e-8, 840
+
+    # warmup / compile
+    res = solve_avi_batch(M, q, l, u, z0, mask, tol=tol, max_iter=iters)
+    res.z.block_until_ready()
+
+    t0 = time.perf_counter()
+    n_runs = 3
+    for _ in range(n_runs):
+        res = solve_avi_batch(M, q, l, u, z0, mask, tol=tol, max_iter=iters)
+        res.z.block_until_ready()
+    t_batch = (time.perf_counter() - t0) / n_runs
+    throughput = S / t_batch
+    conv = float(np.asarray(res.converged).mean())
+
+    # sequential baseline: one system at a time (PATH-loop stand-in)
+    K = 8
+    r1 = solve_avi_batch(M[:1], q[:1], l[:1], u[:1], z0[:1], mask[:1],
+                         tol=tol, max_iter=iters)
+    r1.z.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(K):
+        r1 = solve_avi_batch(M[i:i + 1], q[i:i + 1], l[i:i + 1], u[i:i + 1],
+                             z0[i:i + 1], mask[i:i + 1],
+                             tol=tol, max_iter=iters)
+        r1.z.block_until_ready()
+    t_seq = (time.perf_counter() - t0) / K
+    seq_throughput = 1.0 / t_seq
+
+    print(json.dumps({
+        "metric": f"avi_kkt_solves_per_sec_per_chip[{backend},batch={S},"
+                  f"conv={conv:.2f}]",
+        "value": round(throughput, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(throughput / seq_throughput, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,74 +125,169 @@ def _natural_residual(M, q, l, u, z):
 
 
 def _newton_solve(M, q, l, u, z0, *, tol, max_iter, var_mask):
-    """Single-instance semismooth Newton on Φ. All shapes static.
+    """Single-instance hybrid semismooth-Newton / extragradient solver.
 
-    ``var_mask`` marks real (non-padded) variables; padded vars are pinned to 0
-    (row = identity, l=u=0)."""
+    Semismooth Newton on the natural residual converges superlinearly near a
+    solution but can stall on merely-monotone problems — LP KKT systems give
+    skew-symmetric M with singular active-set Jacobians, exactly the systems
+    the reference feeds to PATH.  Korpelevich's extragradient method
+
+        z½ = Π(z − τ F(z)),  z⁺ = Π(z − τ F(z½)),   τ < 1/L
+
+    is globally convergent for monotone Lipschitz F, but only linearly.  The
+    solver therefore alternates: a Newton phase (fast, Armijo-guarded, exits
+    on stall) and an unconditional extragradient sweep that walks out of the
+    stall basin; the best natural-residual iterate is tracked across phases.
+    All phases are fixed-shape jax, vmappable.
+
+    ``var_mask`` marks real (non-padded) variables; padded vars are pinned to
+    0 (row = identity, l=u=0)."""
     n = q.shape[0]
     dt = q.dtype
     l = jnp.where(var_mask, l, 0.0)
     u = jnp.where(var_mask, u, 0.0)
     eye = jnp.eye(n, dtype=dt)
-    Mm = jnp.where(var_mask[:, None] & var_mask[None, :], M, eye)
-    qm = jnp.where(var_mask, q, 0.0)
-    # projection-step damping constant
-    gamma = 1.0 / (1.0 + jnp.linalg.norm(Mm, ord=jnp.inf))
+    M0 = jnp.where(var_mask[:, None] & var_mask[None, :], M, eye)
+    q0 = jnp.where(var_mask, q, 0.0)
 
-    def merit(z):
-        Phi, _, _ = _natural_residual(Mm, qm, l, u, z)
+    # ---- complementarity-preserving Ruiz equilibration -------------------
+    # Row i scaled by d_i>0, variable i by e_i>0: M' = D M E, q' = D q,
+    # bounds scale by 1/e — complementarity of (row i, z_i) is preserved for
+    # any positive diagonals.  Balancing fixes the 1..10^k row spreads that
+    # cripple both the Newton conditioning and the extragradient step size.
+    def ruiz(M):
+        def body(i, de):
+            d, e = de
+            Ms = jnp.abs(d[:, None] * M * e[None, :])
+            r = jnp.max(Ms, axis=1)
+            c = jnp.max(Ms, axis=0)
+            d = d / jnp.sqrt(jnp.clip(r, 1e-8, 1e8))
+            e = e / jnp.sqrt(jnp.clip(c, 1e-8, 1e8))
+            return d, e
+        return jax.lax.fori_loop(0, 8, body,
+                                 (jnp.ones(n, dtype=dt), jnp.ones(n, dtype=dt)))
+
+    d_sc, e_sc = ruiz(M0)
+    Mm = d_sc[:, None] * M0 * e_sc[None, :]
+    qm = d_sc * q0
+    ls = jnp.where(jnp.isfinite(l), l / e_sc, l)
+    us = jnp.where(jnp.isfinite(u), u / e_sc, u)
+    l, u = ls, us
+    # extragradient step: τ ≤ 0.9 / L with L ≈ ‖M‖_∞ (cheap Lipschitz bound)
+    tau = 0.9 / (1.0 + jnp.linalg.norm(Mm, ord=jnp.inf))
+
+    def merit_for(Mx, qx, z):
+        F = Mx @ z + qx
+        Phi = z - jnp.clip(z - F, l, u)
         return 0.5 * jnp.dot(Phi, Phi), Phi
 
-    def body(state):
-        k, z, stall, best_z, best_m = state
-        m0, Phi = merit(z)
-        F = Mm @ z + qm
-        s = z - F
-        free = (s > l) & (s < u)
-        D = free.astype(dt)
-        J = D[:, None] * Mm + (1.0 - D)[:, None] * eye
-        # QR would be exact for nonsingular J; ridge handles the singular
-        # ξ-consensus blocks (avi.jl:356-369 make systems rank-deficient-ish).
-        dz = ridge_solve(J, -Phi, 1e-12)
+    tol_m = 0.5 * tol * tol
 
-        # Armijo on merit over a fixed ladder of step sizes, evaluated as one
-        # batched matmul (compiles/runs far better than a nested while_loop)
-        ts = 0.5 ** jnp.arange(16, dtype=dt)           # 1, 1/2, ..., 2^-15
-        Ztry = z[None, :] + ts[:, None] * dz[None, :]  # (16, n)
-        Ftry = Ztry @ Mm.T + qm[None, :]
-        Phitry = Ztry - jnp.clip(Ztry - Ftry, l[None, :], u[None, :])
-        mtry = 0.5 * jnp.sum(Phitry * Phitry, axis=1)
-        ok = mtry <= (1.0 - 1e-4 * ts) * m0
-        accepted = jnp.any(ok)
-        first = jnp.argmax(ok)                         # first (largest) good t
-        z_new = jnp.where(accepted, Ztry[first], z)
+    def newton_phase(Mx, qx, z, iters_left, stall_limit=3):
+        """Semismooth Newton with batched-Armijo line search on (Mx, qx)."""
+        def body(state):
+            k, z, stall, best_z, best_m = state
+            m0, Phi = merit_for(Mx, qx, z)
+            F = Mx @ z + qx
+            s = z - F
+            free = (s > l) & (s < u)
+            D = free.astype(dt)
+            J = D[:, None] * Mx + (1.0 - D)[:, None] * eye
+            # ridge handles singular active-set Jacobians (ξ-consensus rows,
+            # avi.jl:356-369, and LP blocks)
+            dz = ridge_solve(J, -Phi, 1e-12)
+            ts = 0.5 ** jnp.arange(16, dtype=dt)
+            Ztry = z[None, :] + ts[:, None] * dz[None, :]
+            Ftry = Ztry @ Mx.T + qx[None, :]
+            Phitry = Ztry - jnp.clip(Ztry - Ftry, l[None, :], u[None, :])
+            mtry = 0.5 * jnp.sum(Phitry * Phitry, axis=1)
+            ok = mtry <= (1.0 - 1e-4 * ts) * m0
+            accepted = jnp.any(ok)
+            first = jnp.argmax(ok)
+            z_next = jnp.where(accepted, Ztry[first], z)
+            stall = jnp.where(accepted, 0, stall + 1)
+            m_next, _ = merit_for(Mx, qx, z_next)
+            best_z = jnp.where(m_next < best_m, z_next, best_z)
+            best_m = jnp.minimum(m_next, best_m)
+            return k + 1, z_next, stall, best_z, best_m
 
-        # escape hatch: damped projection (gradient) step when Newton stalls
-        z_proj = jnp.clip(z - gamma * F, l, u)
-        z_next = jnp.where(accepted, z_new, z_proj)
-        stall = jnp.where(accepted, 0, stall + 1)
+        def cond(state):
+            k, _, stall, _, best_m = state
+            return (k < iters_left) & (best_m > tol_m) & (stall < stall_limit)
 
-        m_next, _ = merit(z_next)
-        best_z = jnp.where(m_next < best_m, z_next, best_z)
-        best_m = jnp.minimum(m_next, best_m)
-        return k + 1, z_next, stall, best_z, best_m
+        m0, _ = merit_for(Mx, qx, z)
+        k, z, _, best_z, best_m = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), z, jnp.int32(0), z, m0))
+        return best_z, best_m, k
 
-    def cond(state):
-        k, z, stall, _, best_m = state
-        return (k < max_iter) & (best_m > 0.5 * tol * tol) & (stall < 25)
+    def eg_phase(z, num_steps):
+        """Korpelevich extragradient on the original (scaled) problem —
+        globally convergent for monotone M, used as a basin hop."""
+        def body(i, state):
+            z, best_z, best_m = state
+            F = Mm @ z + qm
+            z_half = jnp.clip(z - tau * F, l, u)
+            F_half = Mm @ z_half + qm
+            z_new = jnp.clip(z - tau * F_half, l, u)
+            m_new, _ = merit_for(Mm, qm, z_new)
+            best_z = jnp.where(m_new < best_m, z_new, best_z)
+            best_m = jnp.minimum(m_new, best_m)
+            return z_new, best_z, best_m
 
-    z0 = jnp.clip(jnp.where(var_mask, z0, 0.0), l, u)
-    m_init, _ = merit(z0)
-    state = (jnp.int32(0), z0, jnp.int32(0), z0, m_init)
-    k, z, _, best_z, best_m = jax.lax.while_loop(cond, body, state)
+        m0, _ = merit_for(Mm, qm, z)
+        z, best_z, best_m = jax.lax.fori_loop(0, num_steps, body, (z, z, m0))
+        return z, best_z, best_m
 
-    Phi, _, _ = _natural_residual(Mm, qm, l, u, best_z)
+    z0 = jnp.clip(jnp.where(var_mask, z0 / e_sc, 0.0), l, u)
+    m_init, _ = merit_for(Mm, qm, z0)
+
+    # round = proximal step + polish + EG hop.  The proximal subproblem
+    #   (M + δI) z + (q − δ z_ref)  ⟂  l ≤ z ≤ u
+    # is strongly monotone (Newton cracks it even for skew LP-KKT blocks);
+    # iterating z_ref is the proximal-point algorithm, convergent for any
+    # monotone M; δ shrinks geometrically for a superlinear tail.
+    round_cost = 40 + 30 + 60
+    max_rounds = jnp.int32(max(2, max_iter // round_cost))
+
+    def round_body(state):
+        r, z, z_ref, delta, best_z, best_m, total_k = state
+        pz, _, k1 = newton_phase(Mm + delta * eye, qm - delta * z_ref, z, 40)
+        # polish on the true problem from the proximal iterate
+        qz, qmer, k2 = newton_phase(Mm, qm, pz, 30)
+        best_z = jnp.where(qmer < best_m, qz, best_z)
+        best_m = jnp.minimum(qmer, best_m)
+        # EG hop to escape repeated basins (cheap matvecs)
+        ez, ebz, ebm = eg_phase(qz, 60)
+        best_z = jnp.where(ebm < best_m, ebz, best_z)
+        best_m = jnp.minimum(ebm, best_m)
+        z_next = jnp.where(best_m <= tol_m, best_z, ez)
+        delta = jnp.maximum(delta * 0.25, 1e-12)
+        return (r + 1, z_next, pz, delta, best_z, best_m,
+                total_k + k1 + k2 + 60)
+
+    def round_cond(state):
+        r, _, _, _, _, best_m, _ = state
+        return (r < max_rounds) & (best_m > tol_m)
+
+    state = (jnp.int32(0), z0, z0, jnp.asarray(1e-2, dtype=dt), z0, m_init,
+             jnp.int32(0))
+    _, _, _, _, best_z, best_m, total_k = jax.lax.while_loop(
+        round_cond, round_body, state)
+
+    # final Newton polish from the overall best iterate
+    pz, pm, pk = newton_phase(Mm, qm, best_z, 30)
+    best_z = jnp.where(pm < best_m, pz, best_z)
+
+    # report the residual of the UNSCALED problem
+    z_out = e_sc * best_z
+    Phi, _, _ = _natural_residual(M0, q0, ls * e_sc, us * e_sc, z_out)
     resid = jnp.max(jnp.abs(Phi), initial=0.0)
-    return AVIResult(z=best_z, resid=resid, iters=k, converged=resid <= tol)
+    return AVIResult(z=z_out, resid=resid, iters=total_k + pk,
+                     converged=resid <= tol)
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "max_iter"))
-def solve_avi_batch(M, q, l, u, z0, var_mask, *, tol=1e-10, max_iter=500):
+def solve_avi_batch(M, q, l, u, z0, var_mask, *, tol=1e-10, max_iter=4000):
     """Batched box-AVI solve.  M (B,n,n), q/l/u/z0 (B,n), var_mask (B,n)."""
     fn = functools.partial(_newton_solve, tol=tol, max_iter=max_iter)
     return jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn(M_, q_, l_, u_, z_,
@@ -216,22 +311,34 @@ def check_avi_solution(avi: AVI, z, w, tol: float = 1e-6):
     return bad == 0, int(bad), r
 
 
-def solve_avi(avi: AVI, z0, w, convergence_tolerance: float = 1e-10):
+def solve_avi(avi: AVI, z0, w, convergence_tolerance: float = 1e-10,
+              num_restarts: int = 4, seed: int = 0):
     """Solve one AVI instance (avi.jl:63-77 semantics).
 
-    Returns (z, status) with status SUCCESS iff the natural residual meets the
-    tolerance AND the check_avi_solution audit passes."""
+    Robustness via multi-start: the warm start, the origin, and scaled random
+    points all solve as ONE vmapped batch (restart_limits=5 in the
+    reference's PATH call plays the same role); the best converged iterate
+    wins.  Returns (z, status) with SUCCESS iff the natural residual meets
+    the tolerance AND the check_avi_solution audit passes."""
     w = np.asarray(w, dtype=np.float64)
     q = avi.N @ w + avi.o
     n = q.shape[0]
+    rng = np.random.default_rng(seed)
+    starts = [np.asarray(z0, dtype=np.float64), np.zeros(n)]
+    scale = 1.0 + np.abs(np.asarray(z0)).max()
+    for _ in range(max(0, num_restarts - 2)):
+        starts.append(rng.standard_normal(n) * scale)
+    Z0 = np.stack(starts)
+    B = Z0.shape[0]
     res = solve_avi_batch(
-        jnp.asarray(avi.M)[None], jnp.asarray(q)[None],
-        jnp.asarray(avi.l)[None], jnp.asarray(avi.u)[None],
-        jnp.asarray(np.asarray(z0, dtype=np.float64))[None],
-        jnp.ones((1, n), dtype=bool),
-        tol=convergence_tolerance, max_iter=500)
-    z = np.asarray(res.z[0])
-    ok = bool(res.converged[0])
+        np.repeat(avi.M[None], B, axis=0), np.repeat(q[None], B, axis=0),
+        np.repeat(avi.l[None], B, axis=0), np.repeat(avi.u[None], B, axis=0),
+        Z0, np.ones((B, n), dtype=bool),
+        tol=convergence_tolerance, max_iter=4000)
+    resid = np.asarray(res.resid)
+    best = int(np.argmin(resid))
+    z = np.asarray(res.z[best])
+    ok = bool(res.converged[best])
     sol_ok, degree, _ = check_avi_solution(avi, z, w, tol=1e-6)
     status = Status.SUCCESS if (ok and sol_ok) else Status.FAILURE
     return z, status

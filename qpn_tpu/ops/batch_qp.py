@@ -55,6 +55,30 @@ def _clip_inf(v):
     return jnp.clip(v, -_BIG, _BIG)
 
 
+def _ruiz_equilibrate(P, q, A, row_mask, iters=10):
+    """Modified Ruiz equilibration of the KKT data: diagonal D (variables) and
+    E (rows) such that columns of [DPD; EAD] and rows of EAD have ~unit
+    inf-norm.  Dramatically cuts ADMM iterations on badly scaled LPs."""
+    n = q.shape[0]
+    m = A.shape[0]
+    dt = q.dtype
+    D = jnp.ones(n, dtype=dt)
+    E = jnp.ones(m, dtype=dt)
+
+    def body(i, DE):
+        D, E = DE
+        Pn = jnp.abs(D[:, None] * P * D[None, :])
+        An = jnp.abs(E[:, None] * A * D[None, :]) * row_mask[:, None]
+        col = jnp.maximum(jnp.max(Pn, axis=0), jnp.max(An, axis=0))
+        dd = 1.0 / jnp.sqrt(jnp.clip(col, 1e-8, 1e8))
+        row = jnp.max(An, axis=1)
+        de = jnp.where(row_mask, 1.0 / jnp.sqrt(jnp.clip(row, 1e-8, 1e8)), 1.0)
+        return D * dd, E * de
+
+    D, E = jax.lax.fori_loop(0, iters, body, (D, E))
+    return D, E
+
+
 def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
                 check_every):
     """Single-instance OSQP-style ADMM. All shapes static; vmapped by caller.
@@ -64,6 +88,15 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
     n = q.shape[0]
     m = l.shape[0]
     dt = q.dtype
+
+    # -------- Ruiz equilibration (scaled problem solved, unscaled returned) --
+    Dsc, Esc = _ruiz_equilibrate(P, q, A, row_mask)
+    P0, q0, A0, l0, u0 = P, q, A, l, u
+    P = Dsc[:, None] * P * Dsc[None, :]
+    q = Dsc * q
+    A = Esc[:, None] * A * Dsc[None, :]
+    l = jnp.where(jnp.isfinite(l), Esc * l, l)
+    u = jnp.where(jnp.isfinite(u), Esc * u, u)
 
     l = jnp.where(row_mask, l, -jnp.inf)
     u = jnp.where(row_mask, u, jnp.inf)
@@ -178,22 +211,36 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
             jnp.int32(MAX_ITER), jnp.zeros(n, dtype=dt), jnp.zeros(m, dtype=dt))
     k, x, z, y, L, R, rho, status, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # -------- polish: active-set KKT refinement (OSQP §5.2 analogue) ------
+    # -------- unscale back to the original problem ------------------------
+    x = Dsc * x
+    y = Esc * y
+    lc0 = _clip_inf(jnp.where(row_mask, l0, -jnp.inf))
+    uc0 = _clip_inf(jnp.where(row_mask, u0, jnp.inf))
+    z = jnp.clip(A0 @ x, lc0, uc0)
+
+    def residuals0(x, z, y):
+        Ax = A0 @ x
+        prim = jnp.max(jnp.abs(Ax - z) * row_mask, initial=0.0)
+        dual = jnp.max(jnp.abs(P0 @ x + q0 + A0.T @ y), initial=0.0)
+        return prim, dual
+
+    # -------- polish: active-set KKT refinement on the ORIGINAL data ------
     def polish(x, z, y):
-        act_l = row_mask & (y < -1e-9)
-        act_u = row_mask & (y > 1e-9)
+        Ax = A0 @ x
+        act_l = row_mask & ((y < -1e-9) | (Ax <= lc0 + 1e-7))
+        act_u = row_mask & ((y > 1e-9) | (Ax >= uc0 - 1e-7))
         act = act_l | act_u
-        bnd = jnp.where(act_l, lc, uc)
+        bnd = jnp.where(act_l, lc0, uc0)
         w = act.astype(dt)
         # KKT of equality-constrained QP with active rows:
         #  [P  Aact'] [x]   [-q ]
         #  [Aact  0 ] [ν] = [bnd]
         delta = 1e-9
         K = jnp.block([
-            [P + delta * jnp.eye(n, dtype=dt), (A * w[:, None]).T],
-            [A * w[:, None], -delta * jnp.eye(m, dtype=dt)],
+            [P0 + delta * jnp.eye(n, dtype=dt), (A0 * w[:, None]).T],
+            [A0 * w[:, None], -delta * jnp.eye(m, dtype=dt)],
         ])
-        rhs = jnp.concatenate([-q, jnp.where(act, bnd, 0.0)])
+        rhs = jnp.concatenate([-q0, jnp.where(act, bnd, 0.0)])
         # no f64 LU on TPU: QR-based solve (see ops/linalg.py)
         sol = qr_solve(K, rhs)
         # one step of iterative refinement
@@ -201,24 +248,33 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         sol = sol + qr_solve(K, r)
         x_p = sol[:n]
         y_p = jnp.where(act, sol[n:], 0.0)
-        prim_p, dual_p, _, _ = residuals(x_p, jnp.clip(A @ x_p, lc, uc), y_p)
-        prim_o, dual_o, _, _ = residuals(x, z, y)
+        # dual-sign sanity: lower-active duals ≤ 0, upper-active ≥ 0
+        y_p = jnp.where(act_l & ~act_u, jnp.minimum(y_p, 0.0), y_p)
+        y_p = jnp.where(act_u & ~act_l, jnp.maximum(y_p, 0.0), y_p)
+        z_p = jnp.clip(A0 @ x_p, lc0, uc0)
+        prim_p, dual_p = residuals0(x_p, z_p, y_p)
+        prim_o, dual_o = residuals0(x, z, y)
         feas_p = jnp.all(jnp.where(row_mask,
-                                   (A @ x_p >= lc - 1e-7) & (A @ x_p <= uc + 1e-7),
-                                   True))
+                                   (A0 @ x_p >= lc0 - 1e-7)
+                                   & (A0 @ x_p <= uc0 + 1e-7), True))
         better = feas_p & (prim_p + dual_p <= prim_o + dual_o)
         x = jnp.where(better, x_p, x)
         y = jnp.where(better, y_p, y)
-        z = jnp.where(better, jnp.clip(A @ x, lc, uc), z)
+        z = jnp.where(better, jnp.clip(A0 @ x, lc0, uc0), z)
         return x, z, y
 
-    x, z, y = jax.lax.cond(status == SOLVED, lambda op: polish(*op),
+    prim, dual = residuals0(x, z, y)
+    do_polish = (status == SOLVED) | ((prim <= 1e-3) & (dual <= 1e-3))
+    x, z, y = jax.lax.cond(do_polish, lambda op: polish(*op),
                            lambda op: op, (x, z, y))
 
-    prim, dual, prim_rel, dual_rel = residuals(x, z, y)
-    status = jnp.where((status == MAX_ITER) & (prim <= 1e-4) & (dual <= 1e-4),
-                       SOLVED_INACCURATE, status)
-    obj = 0.5 * jnp.dot(x, P @ x) + jnp.dot(q, x)
+    prim, dual = residuals0(x, z, y)
+    good = (prim <= 1e-6) & (dual <= 1e-6)
+    okish = (prim <= 1e-4) & (dual <= 1e-4)
+    status = jnp.where((status == MAX_ITER) & good, SOLVED,
+              jnp.where((status == MAX_ITER) & okish, SOLVED_INACCURATE,
+                        status)).astype(jnp.int32)
+    obj = 0.5 * jnp.dot(x, P0 @ x) + jnp.dot(q0, x)
     return QPSolution(x=x, y=y, z=z, obj=obj, status=status,
                       prim_res=prim, dual_res=dual, iters=k)
 

@@ -1,0 +1,97 @@
+"""Enumeration-layer tests: comp_indices labels, recipe products, local_piece
+bounds table, solution-graph generation (avi_solutions.jl semantics)."""
+
+import numpy as np
+import pytest
+
+from qpn_tpu.enumeration import (comp_indices, all_Ks, local_piece,
+                                 LocalGAVISolutions, process_solution_graph,
+                                 quantize)
+from qpn_tpu.network import Quadratic, QP
+from qpn_tpu.ops.avi import GAVI
+
+
+def _scalar_follower_gavi():
+    """KKT GAVI of: min_y (y - w)^2 s.t. y >= 0 (z=[y, lam], w param).
+
+    M = [2, -1] (dQ/dy, -A'), N = [-2], A = [1, 0], bounds y>=0."""
+    return GAVI(M=np.array([[2.0, -1.0]]), N=np.array([[-2.0]]),
+                o=np.array([0.0]),
+                l1=np.array([-np.inf]), u1=np.array([np.inf]),
+                A=np.array([[1.0, 0.0]]), B=np.array([[0.0]]),
+                l2=np.array([0.0]), u2=np.array([np.inf]))
+
+
+def test_comp_indices_strict_interior():
+    g = _scalar_follower_gavi()
+    # w=2: solution y=2, lam=0 (constraint inactive): row1 label 2; row2 label 9->...
+    J = comp_indices(g, np.array([2.0, 0.0]), np.array([2.0]))
+    assert J[0] == {2}
+    # block-2 row: lam=0 (r2=0), s2=y=2 in (0, inf): label 6 (i.e. 2+4)
+    assert J[1] == {6}
+
+
+def test_comp_indices_weak():
+    g = _scalar_follower_gavi()
+    # w=0: y=0, lam=0: boundary AND multiplier zero — weak row gets 2 labels
+    J = comp_indices(g, np.array([0.0, 0.0]), np.array([0.0]))
+    assert J[1] == {5, 6}
+    Ks = all_Ks(J)
+    assert len(Ks) == 2
+
+
+def test_local_piece_regions():
+    g = _scalar_follower_gavi()
+    # label (2, 6): stationarity equality + constraint inactive: piece w >= 0
+    piece, _ = local_piece(g, 2, 1, (2, 6))
+    # piece is over (y, lam, w): y=w, lam=0, y >= 0
+    assert piece.contains(np.array([1.0, 0.0, 1.0]), tol=1e-6)
+    assert not piece.contains(np.array([1.0, 0.0, 2.0]), tol=1e-4)
+    # label (2, 5): constraint active at lower: y=0, lam=-2w -> needs lam>=0: w<=0
+    piece2, _ = local_piece(g, 2, 1, (2, 5))
+    assert piece2.contains(np.array([0.0, 2.0, -1.0]), tol=1e-6)
+    assert not piece2.contains(np.array([0.0, -2.0, 1.0]), tol=1e-4)
+
+
+def test_solution_graph_scalar_follower():
+    """The solution map of min_y (y-w)^2 s.t. y>=0 is y = max(w, 0):
+    two pieces meeting at the kink; seeding at the kink finds both."""
+    Q = np.array([[0.0, 0.0], [0.0, 2.0]])  # vars (w, y)
+    q = np.zeros(2)
+    # cost (y - w)^2 => Q = [[2,-2],[-2,2]]; use that
+    Q = np.array([[2.0, -2.0], [-2.0, 2.0]])
+    f = Quadratic(Q, q, 0.0)
+    qp = QP(f=f, constraint_indices=[1], var_indices=[1])
+    from qpn_tpu.geometry.poly import Poly
+    cons = [Poly(np.array([[0.0, 1.0]]), [0.0], [np.inf])]
+    x = np.zeros(2)       # at the kink w=0, y=0
+    lam = np.zeros(1)
+    gen = process_solution_graph(qp, cons, [1], x, lam)
+    pieces = gen.collect()
+    assert len(pieces) >= 2
+    # pieces live in (x) = (w, y) space: check the two branches
+    def in_any(pt):
+        return any(p.contains(np.array(pt), tol=1e-6) for p in pieces)
+    assert in_any([1.0, 1.0])     # y=w branch
+    assert in_any([-1.0, 0.0])    # y=0 branch
+    assert not in_any([1.0, 0.0])
+    assert not in_any([-1.0, 0.5])
+
+
+def test_quantize_dedup():
+    a = quantize(np.array([0.1234567, 1.0]))
+    b = quantize(np.array([0.1234572, 1.0]))
+    c = quantize(np.array([0.1234467, 1.0]))
+    assert a == b
+    assert a != c
+
+
+def test_vertex_exploration_budget():
+    """max_vertices=0 disables exploration entirely (the default path,
+    programs.jl:69)."""
+    g = _scalar_follower_gavi()
+    sols = LocalGAVISolutions(g, np.array([0.0, 0.0]), np.array([0.0]),
+                              0, 0, [0], [1], max_vertices=0)
+    pieces = sols.collect()
+    assert len(pieces) >= 2
+    assert len(sols.explored_vertices) == 1   # only the seed point

@@ -1,0 +1,165 @@
+"""Unit + property tests for the polyhedral geometry kernel (the test pyramid
+the reference lacks — its rand(Poly) generator, sets.jl:316-345, hints at the
+intended fuzzing; we do it)."""
+
+import numpy as np
+import pytest
+
+from qpn_tpu.geometry import (Poly, PolyUnion, intersect, from_box, is_empty,
+                              contains, issubset, implicit_bounds,
+                              intrinsic_dim, remove_subsets, project,
+                              get_verts, rand_poly, random_polys_of_dim)
+
+
+def test_normalization_and_dedup():
+    # rows scaled so leading coefficient is +1; duplicate rows collapse
+    A = np.array([[2.0, 0.0], [1.0, 0.0], [-3.0, 0.0]])
+    p = Poly(A, [0.0, 0.0, -6.0], [2.0, 1.0, np.inf])
+    # rows 1,2 normalize to a=(1,0) l=0 u=1; row 3 flips to a=(1,0) l=-inf u=2
+    assert p.m == 2
+    assert np.allclose(p.A[:, 0], 1.0)
+
+
+def test_simplify_merges_parallel_rows():
+    A = np.array([[1.0, 0.0], [1.0, 0.0]])
+    p = Poly(A, [0.0, 0.5], [2.0, 3.0], dedupe=False).simplify()
+    assert p.m == 1
+    assert np.isclose(p.l[0], 0.5) and np.isclose(p.u[0], 2.0)
+
+
+def test_membership_box():
+    p = from_box([0.0, 0.0], [1.0, 1.0])
+    assert p.contains([0.5, 0.5])
+    assert not p.contains([1.5, 0.5])
+    # boundary within tolerance
+    assert p.contains([1.0 + 1e-8, 0.5])
+
+
+def test_partial_membership_lp():
+    # {(x, y): 0<=x<=1, 0<=y<=1, x+y<=1}: x=0.2 feasible, x=2 not
+    A = np.array([[1.0, 0], [0, 1.0], [1.0, 1.0]])
+    p = Poly(A, [0, 0, -np.inf], [1, 1, 1.0])
+    assert contains(np.array([0.2]), p)
+    assert not contains(np.array([2.0]), p)
+
+
+def test_emptiness_strict_and_closed():
+    # x <= 0 and x >= 0: nonempty (the point 0)
+    p = Poly(np.array([[1.0], [1.0]]), [-np.inf, 0.0], [0.0, np.inf],
+             dedupe=False)
+    assert not is_empty(p)
+    # x < 0 and x > 0: empty via strictness
+    p2 = Poly(np.array([[1.0], [1.0]]), [-np.inf, 0.0], [0.0, np.inf],
+              np.array([False, True]), np.array([True, False]), dedupe=False)
+    assert is_empty(p2)
+    # x >= 1 and x <= 0: empty
+    p3 = Poly(np.array([[1.0], [1.0]]), [1.0, -np.inf], [np.inf, 0.0],
+              dedupe=False)
+    assert is_empty(p3)
+
+
+def test_issubset():
+    inner = from_box([0.2, 0.2], [0.8, 0.8])
+    outer = from_box([0.0, 0.0], [1.0, 1.0])
+    assert issubset(inner, outer)
+    assert not issubset(outer, inner)
+
+
+def test_remove_subsets_tie_break():
+    # two equal boxes: exactly one survives (deterministic serial tie-break,
+    # sets.jl:889-905)
+    a = from_box([0.0], [1.0])
+    b = from_box([0.0], [1.0])
+    c = from_box([2.0], [3.0])
+    pu = remove_subsets(PolyUnion([a, b, c]))
+    assert len(pu) == 2
+
+
+def test_implicit_bounds_and_intrinsic_dim():
+    # triangle squeezed to a segment: x+y=1, 0<=x<=1, 0<=y<=1
+    A = np.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])
+    p = Poly(A, [1.0, 0.0, 0.0], [1.0, 1.0, 1.0])
+    impl, vals = implicit_bounds(p)
+    assert impl[0]
+    assert intrinsic_dim(p) == 1
+
+
+def test_complement():
+    p = from_box([0.0], [1.0])
+    comp = p.complement()
+    assert len(comp) == 2
+    assert comp.contains(np.array([-0.5]))
+    assert comp.contains(np.array([1.5]))
+    assert not comp.contains(np.array([0.5]))
+
+
+def test_intersect_and_slice():
+    a = from_box([0.0, 0.0], [2.0, 2.0])
+    b = from_box([1.0, 1.0], [3.0, 3.0])
+    c = intersect(a, b)
+    assert c.contains([1.5, 1.5])
+    assert not c.contains([0.5, 0.5])
+    s = c.poly_slice(np.array([1.5, np.nan]))
+    assert s.dim == 1
+    assert s.contains([1.5])
+    assert not s.contains([0.5])
+
+
+def test_projection_simplex():
+    # project the 3-simplex onto (x1, x2): expect x1,x2 >= 0, x1+x2 <= 1
+    A = np.vstack([np.eye(3), np.ones((1, 3))])
+    p = Poly(A, [0, 0, 0, 1.0], [np.inf, np.inf, np.inf, 1.0])
+    pr = project(p, [0, 1])
+    assert pr.dim == 2
+    for pt, inside in [([0.3, 0.3], True), ([0.7, 0.7], False),
+                       ([-0.1, 0.5], False), ([0.0, 1.0], True)]:
+        assert pr.contains(np.array(pt), tol=1e-6) == inside
+    assert pr.parent is p
+
+
+def test_projection_with_equalities():
+    # x + y = 1, 0 <= x <= 1 projected to x: [0, 1]
+    A = np.array([[1.0, 1.0], [1.0, 0.0]])
+    p = Poly(A, [1.0, 0.0], [1.0, 1.0])
+    pr = project(p, [0])
+    assert pr.contains(np.array([0.5]))
+    assert not pr.contains(np.array([1.5]))
+
+
+def test_get_verts_box():
+    p = from_box([0.0, 0.0], [1.0, 1.0])
+    V, R, L = get_verts(p, rng=np.random.default_rng(0))
+    Vr = {tuple(np.round(v, 4)) for v in V}
+    expected = {(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)}
+    assert expected <= Vr
+
+
+def test_get_verts_point():
+    # zero-dimensional poly: the single point comes back (sets.jl:443-449)
+    p = Poly(np.eye(2), [0.3, 0.7], [0.3, 0.7])
+    V, R, L = get_verts(p)
+    assert len(V) == 1
+    assert np.allclose(V[0], [0.3, 0.7], atol=1e-6)
+
+
+def test_property_random_membership(rng):
+    """Property: exemplar points of nonempty random polys are members."""
+    from qpn_tpu.geometry.setops import exemplar_batch
+    polys = random_polys_of_dim(rng, 20, 3)
+    empty, examples = exemplar_batch(polys)
+    for p, e, ex in zip(polys, empty, examples):
+        if not e and ex is not None:
+            assert p.closure().contains(ex, tol=1e-4)
+
+
+def test_property_subset_transitive(rng):
+    """Shrunk boxes are subsets; random polys intersected are subsets of
+    their factors."""
+    for _ in range(10):
+        lo = rng.standard_normal(3)
+        hi = lo + 1 + rng.random(3)
+        outer = from_box(lo, hi)
+        inner = from_box(lo + 0.1, hi - 0.1)
+        assert issubset(inner, outer)
+        third = intersect(inner, outer)
+        assert issubset(third, outer)

@@ -1,0 +1,71 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded batched AVI
+solves, collective piece pruning, and the full equilibrium superstep."""
+
+import numpy as np
+import pytest
+
+import jax
+
+
+requires_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices")
+
+
+@requires_multidevice
+def test_mesh_shapes():
+    from qpn_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(8)
+    assert np.prod(list(mesh.shape.values())) == 8
+    assert set(mesh.axis_names) == {"scenario", "branch"}
+
+
+@requires_multidevice
+def test_sharded_avi_matches_single_device(rng):
+    from qpn_tpu.parallel.mesh import make_mesh
+    from qpn_tpu.parallel.sharded import sharded_avi_solve
+    from qpn_tpu.ops.avi import solve_avi_batch
+    B, n = 16, 6
+    Ms, qs = [], []
+    for _ in range(B):
+        G = rng.standard_normal((n, n))
+        Ms.append(G @ G.T + 0.5 * np.eye(n))
+        qs.append(rng.standard_normal(n))
+    M = np.array(Ms)
+    q = np.array(qs)
+    l = np.zeros((B, n))
+    u = np.full((B, n), np.inf)
+    z0 = np.zeros((B, n))
+    mask = np.ones((B, n), dtype=bool)
+    mesh = make_mesh(8)
+    res_sh = sharded_avi_solve(mesh, M, q, l, u, z0, mask, tol=1e-10)
+    res_1 = solve_avi_batch(M, q, l, u, z0, mask, tol=1e-10)
+    assert np.asarray(res_sh.converged).all()
+    assert np.allclose(np.asarray(res_sh.z), np.asarray(res_1.z), atol=1e-8)
+
+
+@requires_multidevice
+def test_containment_prune_deterministic():
+    """Duplicate signatures: exactly one survivor per group, lowest index wins
+    regardless of device placement (the reference's serial tie-break)."""
+    from qpn_tpu.parallel.mesh import make_mesh
+    from qpn_tpu.parallel.sharded import sharded_containment_prune
+    mesh = make_mesh(8)
+    act = np.array([[1, 0], [1, 0], [2, 2], [1, 0], [3, 1], [2, 2],
+                    [0, 0], [0, 0]], dtype=np.int32)
+    resid = np.zeros(8)
+    keep = np.asarray(sharded_containment_prune(mesh, act, resid))
+    assert keep.tolist() == [True, False, True, False, True, False,
+                             True, False]
+
+
+@requires_multidevice
+def test_equilibrium_superstep():
+    from qpn_tpu.models.robust_avoid import scenario_batch_gavis
+    from qpn_tpu.parallel.mesh import make_mesh
+    from qpn_tpu.parallel.sharded import equilibrium_superstep
+    mesh = make_mesh(8)
+    batch = scenario_batch_gavis(num_scenarios=16, T=1, num_obj=1,
+                                 num_poly_faces=3, seed=0)
+    out = equilibrium_superstep(mesh, batch, tol=1e-6, max_iter=420)
+    assert np.isfinite(np.asarray(out["z"])).all()
+    assert np.asarray(out["keep"]).shape == (16,)
