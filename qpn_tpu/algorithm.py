@@ -455,7 +455,8 @@ def _approx_vec(a, b):
 def solve_base(qpn: QPNet, x_init, request=frozenset(),
                relaxable_inds=frozenset(), level: int = 1,
                proj_vectors: Optional[List[np.ndarray]] = None,
-               rng: Optional[np.random.Generator] = None):
+               rng: Optional[np.random.Generator] = None,
+               checkpoint_path: Optional[str] = None):
     if rng is None:
         rng = np.random.default_rng()
     if proj_vectors is None:
@@ -471,6 +472,11 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
             proj_vals = np.array([x @ v for v in proj_vectors])
             logger.debug("Iteration %d at level %d. %s", iters, level,
                          proj_vals)
+            if level == 1 and checkpoint_path is not None:
+                from .utils.checkpoint import save_state
+                save_state(checkpoint_path, x,
+                           iterate_cache=qpn.iterate_cache,
+                           meta={"iteration": iters})
             if qpn.options.check_for_cycling:
                 if qpn.options.num_projections == 0:
                     raise RuntimeError(
@@ -563,10 +569,12 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
 
 def solve(qpn: QPNet, x_init=None, parent_level_request=frozenset(),
           relaxable_inds=frozenset(), level: int = 1,
-          proj_vectors=None, rng=None, seed: int = 1):
+          proj_vectors=None, rng=None, seed: int = 1,
+          checkpoint_path: Optional[str] = None):
     """Entry point (requests.jl:1-22).  The request-negotiation state machine
     in the reference is dead code behind an early return (requests.jl:22) —
-    solve delegates directly to solve_base."""
+    solve delegates directly to solve_base.  ``checkpoint_path`` saves the
+    iterate + cycling fingerprints each outer iteration (utils/checkpoint)."""
     if x_init is None:
         x_init = qpn.default_initialization
     if rng is None:
@@ -574,5 +582,11 @@ def solve(qpn: QPNet, x_init=None, parent_level_request=frozenset(),
     METRICS.reset()
     qpn.metrics = METRICS
     with METRICS.timer("solve"):
-        return solve_base(qpn, x_init, parent_level_request, relaxable_inds,
-                          level=level, proj_vectors=proj_vectors, rng=rng)
+        ret = solve_base(qpn, x_init, parent_level_request, relaxable_inds,
+                         level=level, proj_vectors=proj_vectors, rng=rng,
+                         checkpoint_path=checkpoint_path)
+    if checkpoint_path is not None and ret.solved:
+        from .utils.checkpoint import save_state
+        save_state(checkpoint_path, ret.x_opt, Sol=ret.Sol,
+                   iterate_cache=qpn.iterate_cache, meta={"solved": True})
+    return ret

@@ -110,7 +110,7 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2):
             ls.append(ll)
             us.append(uu)
             masks.append(mask)
-        sol = batch_qp.solve_qp_batch(
+        sol = batch_qp.solve_qp_batch_padded(
             np.array(Ps), np.array(qs), np.array(As), np.array(ls),
             np.array(us), np.array(masks))
         X = np.asarray(sol.x)
@@ -237,7 +237,7 @@ def support_batch(polys: Sequence[Poly], dirs: Sequence[np.ndarray]):
             ls.append(l)
             us.append(u)
             masks.append(mask)
-        sol = batch_qp.solve_qp_batch(
+        sol = batch_qp.solve_qp_batch_padded(
             np.array(Ps), np.array(qs), np.array(As), np.array(ls),
             np.array(us), np.array(masks))
         OBJ = np.asarray(sol.obj)

@@ -59,7 +59,7 @@ def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
     m = p.m
     A, l, u, mask = setops._pad_rows(p.A, p.l, p.u, m)
     B = dirs.shape[0]
-    sol = batch_qp.solve_qp_batch(
+    sol = batch_qp.solve_qp_batch_padded(
         np.zeros((B, n, n)), dirs,
         np.repeat(A[None], B, axis=0), np.repeat(l[None], B, axis=0),
         np.repeat(u[None], B, axis=0), np.repeat(mask[None], B, axis=0))

@@ -83,6 +83,18 @@ class GAVI:
         return len(self.l2)
 
 
+@dataclasses.dataclass
+class GLCP:
+    """General linear complementarity problem ``Mz + q ⟂ l ≤ Az ≤ u``
+    (avi.jl:41-53; defined-but-unused in the reference, kept for API parity —
+    z need not match the dimension of q/l/u)."""
+    M: np.ndarray
+    q: np.ndarray
+    A: np.ndarray
+    l: np.ndarray
+    u: np.ndarray
+
+
 def convert_gavi(gavi: GAVI) -> AVI:
     """Slack augmentation GAVI → box AVI (avi.jl:113-128).
 
@@ -295,6 +307,33 @@ def solve_avi_batch(M, q, l, u, z0, var_mask, *, tol=1e-10, max_iter=4000):
         M, q, l, u, z0, var_mask)
 
 
+def solve_avi_batch_padded(M, q, l, u, z0, var_mask, **kw):
+    """Bucket-pad the batch and variable dimensions so ragged AVI ensembles
+    reuse a handful of compiled kernels (see config.dim_buckets)."""
+    from ..config import bucket, CONFIG
+    M = np.asarray(M, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    B, n, _ = M.shape
+    Bp = bucket(B, (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
+    np_ = bucket(n, CONFIG.row_buckets)
+    Mp = np.zeros((Bp, np_, np_))
+    Mp[:, range(np_), range(np_)] = 1.0
+    Mp[:B, :n, :n] = M
+    qp = np.zeros((Bp, np_))
+    qp[:B, :n] = q
+    lp = np.zeros((Bp, np_))
+    up = np.zeros((Bp, np_))
+    lp[:B, :n] = l
+    up[:B, :n] = u
+    zp = np.zeros((Bp, np_))
+    zp[:B, :n] = z0
+    mp = np.zeros((Bp, np_), dtype=bool)
+    mp[:B, :n] = var_mask
+    res = solve_avi_batch(Mp, qp, lp, up, zp, mp, **kw)
+    return AVIResult(z=res.z[:B, :n], resid=res.resid[:B],
+                     iters=res.iters[:B], converged=res.converged[:B])
+
+
 # --------------------------------------------------------------------------
 #  Host-level single-problem wrappers (the reference's call pattern)
 # --------------------------------------------------------------------------
@@ -330,7 +369,7 @@ def solve_avi(avi: AVI, z0, w, convergence_tolerance: float = 1e-10,
         starts.append(rng.standard_normal(n) * scale)
     Z0 = np.stack(starts)
     B = Z0.shape[0]
-    res = solve_avi_batch(
+    res = solve_avi_batch_padded(
         np.repeat(avi.M[None], B, axis=0), np.repeat(q[None], B, axis=0),
         np.repeat(avi.l[None], B, axis=0), np.repeat(avi.u[None], B, axis=0),
         Z0, np.ones((B, n), dtype=bool),

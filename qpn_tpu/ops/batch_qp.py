@@ -292,6 +292,48 @@ def solve_qp_batch(P, q, A, l, u, row_mask, *, max_iter=4000, eps=1e-9,
     return jax.vmap(fn)(P, q, A, l, u, row_mask)
 
 
+def solve_qp_batch_padded(P, q, A, l, u, row_mask, **kw):
+    """Bucket-padded batched solve: pads the batch size, row count, and
+    variable count up to the configured buckets so repeated calls with ragged
+    shapes hit a handful of compiled kernels instead of recompiling
+    (config.row_buckets / dim_buckets).  Padded problems are trivial
+    (P=I, no rows); padded rows are masked off; padded variables are fixed
+    at 0 by identity P rows with zero q (their solution is 0)."""
+    from ..config import bucket, CONFIG
+
+    P = np.asarray(P, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    A = np.asarray(A, dtype=np.float64)
+    l = np.asarray(l, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    row_mask = np.asarray(row_mask, dtype=bool)
+    B, m, n = A.shape
+    Bp = bucket(B, (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
+    mp = bucket(m, CONFIG.row_buckets)
+    np_ = bucket(n, CONFIG.dim_buckets)
+
+    Pp = np.zeros((Bp, np_, np_))
+    # padded variables get unit diagonal so K = P + sigma I stays SPD
+    Pp[:, :, :] = np.eye(np_)
+    Pp[:B, :n, :n] = P
+    Pp[:B, n:, n:] = np.eye(np_ - n)
+    qp_ = np.zeros((Bp, np_))
+    qp_[:B, :n] = q
+    Ap = np.zeros((Bp, mp, np_))
+    Ap[:B, :m, :n] = A
+    lp = np.full((Bp, mp), -np.inf)
+    up = np.full((Bp, mp), np.inf)
+    lp[:B, :m] = l
+    up[:B, :m] = u
+    maskp = np.zeros((Bp, mp), dtype=bool)
+    maskp[:B, :m] = row_mask
+    sol = solve_qp_batch(Pp, qp_, Ap, lp, up, maskp, **kw)
+    return QPSolution(x=sol.x[:B, :n], y=sol.y[:B, :m], z=sol.z[:B, :m],
+                      obj=sol.obj[:B], status=sol.status[:B],
+                      prim_res=sol.prim_res[:B], dual_res=sol.dual_res[:B],
+                      iters=sol.iters[:B])
+
+
 def solve_qp_np(P, q, A, l, u, row_mask=None, **kw):
     """Convenience single-problem host wrapper returning numpy results."""
     P = np.asarray(P, dtype=np.float64)
@@ -301,6 +343,6 @@ def solve_qp_np(P, q, A, l, u, row_mask=None, **kw):
     u = np.asarray(u, dtype=np.float64)
     if row_mask is None:
         row_mask = np.ones(l.shape[0], dtype=bool)
-    sol = solve_qp_batch(P[None], q[None], A[None], l[None], u[None],
-                         row_mask[None], **kw)
+    sol = solve_qp_batch_padded(P[None], q[None], A[None], l[None], u[None],
+                                row_mask[None], **kw)
     return jax.tree.map(lambda v: np.asarray(v[0]), sol)

@@ -1,0 +1,94 @@
+"""Pretty printers / debug display — the reference's ``src/printing.jl``.
+
+Aligned sparse-style matrix rendering for Poly / PolyUnion / Quadratic / QP,
+plus ``display_debug`` (printing.jl:1-15).  (The reference's LabeledPoly
+printer has a latent typo bug at printing.jl:24 — ``spsce`` — not replicated.)
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Optional
+
+import numpy as np
+
+from .geometry.poly import Poly, PolyUnion
+from .network import QP, Quadratic, QPNet
+
+
+def _fmt(v, width=9, digits=4):
+    if not np.isfinite(v):
+        s = "∞" if v > 0 else "-∞"
+    elif abs(v) < 1e-12:
+        s = "·"
+    else:
+        s = f"{v:.{digits}g}"
+    return s.rjust(width)
+
+
+def format_poly(p: Poly, max_rows: int = 40) -> str:
+    """Aligned ``l ⋈ a'x ⋈ u`` rows (printing.jl:114-146)."""
+    out = io.StringIO()
+    out.write(f"Poly in R^{p.dim} with {p.m} slices:\n")
+    for i in range(min(p.m, max_rows)):
+        lo = "<" if p.strict_l[i] else "≤"
+        hi = "<" if p.strict_u[i] else "≤"
+        row = " ".join(_fmt(a) for a in p.A[i])
+        out.write(f"  {_fmt(p.l[i])} {lo} [{row}] {hi} {_fmt(p.u[i])}\n")
+    if p.m > max_rows:
+        out.write(f"  ... ({p.m - max_rows} more rows)\n")
+    return out.getvalue()
+
+
+def format_poly_union(pu: PolyUnion, max_polys: int = 10) -> str:
+    out = io.StringIO()
+    out.write(f"PolyUnion with {len(pu)} pieces:\n")
+    for i, p in enumerate(pu):
+        if i >= max_polys:
+            out.write(f"... ({len(pu) - max_polys} more pieces)\n")
+            break
+        out.write(format_poly(p))
+    return out.getvalue()
+
+
+def format_quadratic(f: Quadratic, names=None) -> str:
+    """½x'Qx + q'x + k rendering (printing.jl:179-217)."""
+    n = f.Q.shape[0]
+    names = names or [f"x{i}" for i in range(n)]
+    terms = []
+    for i in range(n):
+        for j in range(i, n):
+            c = f.Q[i, j] if i == j else f.Q[i, j] + f.Q[j, i]
+            coef = 0.5 * c if i == j else c
+            if abs(coef) > 1e-12:
+                var = f"{names[i]}²" if i == j else f"{names[i]}·{names[j]}"
+                terms.append(f"{coef:+.4g} {var}")
+    for i in range(n):
+        if abs(f.q[i]) > 1e-12:
+            terms.append(f"{f.q[i]:+.4g} {names[i]}")
+    if abs(f.k) > 1e-12:
+        terms.append(f"{f.k:+.4g}")
+    return " ".join(terms) if terms else "0"
+
+
+def format_qp(qp: QP, names=None) -> str:
+    out = io.StringIO()
+    out.write("QP:\n")
+    out.write(f"  cost: {format_quadratic(qp.f, names)}\n")
+    out.write(f"  constraint ids: {qp.constraint_indices}\n")
+    out.write(f"  private vars: {qp.var_indices}\n")
+    return out.getvalue()
+
+
+def display_debug(qpn: QPNet, level: int, iters: int, pieces=None) -> None:
+    """printing.jl:1-15: one-line progress banner per iteration."""
+    msg = f"[qpn] level {level} iteration {iters}"
+    if pieces is not None:
+        msg += f" — {pieces} solution-graph pieces"
+    print(msg)
+
+
+# register as __str__ helpers (non-invasive)
+def install_reprs() -> None:
+    Poly.__str__ = lambda self: format_poly(self)          # type: ignore
+    PolyUnion.__str__ = lambda self: format_poly_union(self)  # type: ignore

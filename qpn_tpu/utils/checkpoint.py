@@ -1,0 +1,82 @@
+"""Checkpoint / resume for long equilibrium runs.
+
+The reference has none (SURVEY.md §5: warm starts only).  Long enumerations
+(deep nets, wide piece frontiers) need restartability: this module serializes
+the solver state — iterate x, per-level cycling fingerprints, and full
+solution-graph unions (every polyhedral piece as dense H-rep tensors) — into
+one ``.npz`` with a JSON manifest, loadable into a warm resume.
+
+``solve(qpn, ..., checkpoint_path=...)`` saves after every level-1 outer
+iteration; ``resume(qpn, path)`` continues from the stored iterate.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..geometry.poly import Poly, PolyUnion
+
+
+def _poly_to_entry(store: dict, prefix: str, p: Poly) -> dict:
+    store[f"{prefix}_A"] = p.A
+    store[f"{prefix}_l"] = p.l
+    store[f"{prefix}_u"] = p.u
+    store[f"{prefix}_sl"] = p.strict_l
+    store[f"{prefix}_su"] = p.strict_u
+    return {"prefix": prefix, "m": int(p.m), "dim": int(p.dim)}
+
+
+def _poly_from_entry(data, entry) -> Poly:
+    pre = entry["prefix"]
+    return Poly(data[f"{pre}_A"], data[f"{pre}_l"], data[f"{pre}_u"],
+                data[f"{pre}_sl"], data[f"{pre}_su"], normalize=False)
+
+
+def save_state(path: str, x, Sol: Optional[Dict[int, PolyUnion]] = None,
+               iterate_cache: Optional[Dict] = None, meta: Optional[dict] = None):
+    store: dict = {"x": np.asarray(x, dtype=np.float64)}
+    manifest: dict = {"meta": meta or {}, "sol": {}, "cache_levels": []}
+    if Sol:
+        for node, pu in Sol.items():
+            if pu is None:
+                continue
+            entries = []
+            for i, p in enumerate(pu):
+                entries.append(_poly_to_entry(store, f"sol_{node}_{i}", p))
+            manifest["sol"][str(node)] = entries
+    if iterate_cache:
+        for level, vals in iterate_cache.items():
+            manifest["cache_levels"].append(int(level))
+            store[f"cache_{level}"] = (np.stack(vals) if vals
+                                       else np.zeros((0, 0)))
+    store["manifest"] = np.frombuffer(
+        json.dumps(manifest).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **store)
+
+
+def load_state(path: str):
+    data = np.load(path if str(path).endswith(".npz") else path + ".npz",
+                   allow_pickle=False)
+    manifest = json.loads(bytes(data["manifest"]).decode())
+    x = data["x"]
+    Sol: Dict[int, PolyUnion] = {}
+    for node, entries in manifest["sol"].items():
+        Sol[int(node)] = PolyUnion([_poly_from_entry(data, e)
+                                    for e in entries])
+    cache: Dict[int, list] = {}
+    for level in manifest["cache_levels"]:
+        arr = data[f"cache_{level}"]
+        cache[level] = [arr[i] for i in range(arr.shape[0])] \
+            if arr.size else []
+    return dict(x=x, Sol=Sol, iterate_cache=cache, meta=manifest["meta"])
+
+
+def resume(qpn, path: str, **solve_kwargs):
+    """Warm-resume a solve from a checkpoint."""
+    from ..algorithm import solve
+    state = load_state(path)
+    qpn.iterate_cache.update(state["iterate_cache"])
+    return solve(qpn, state["x"], **solve_kwargs)

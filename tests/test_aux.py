@@ -1,0 +1,89 @@
+"""Auxiliary subsystems: printing, requests, checkpoint/resume, metrics."""
+
+import numpy as np
+import pytest
+
+import qpn_tpu as qt
+from qpn_tpu.geometry.poly import Poly, PolyUnion, from_box
+from qpn_tpu.network import Linear, Quadratic
+from qpn_tpu import printing, requests
+from qpn_tpu.utils import checkpoint
+from qpn_tpu.utils.metrics import Metrics
+
+
+def test_format_poly():
+    p = from_box([0.0, -np.inf], [1.0, 2.0])
+    s = printing.format_poly(p)
+    assert "Poly in R^2" in s
+    assert "∞" in s
+
+
+def test_format_quadratic():
+    f = Quadratic(np.array([[2.0, 1.0], [1.0, 0.0]]), np.array([0.0, -3.0]),
+                  1.0)
+    s = printing.format_quadratic(f, names=["a", "b"])
+    assert "a²" in s and "a·b" in s and "b" in s
+
+
+def test_min_norm_objective():
+    f = requests.min_norm_objective(4, [1, 3])
+    assert f(np.array([1.0, 2.0, 3.0, 4.0])) == pytest.approx(0.5 * (4 + 16))
+
+
+def test_propagate_request():
+    # parent poly: box [0,1]^2; requesting direction e1 gives duals on the
+    # x1 bounds -> returns some Linear directions
+    p = from_box([0.0, 0.0], [1.0, 1.0])
+    out = requests.propagate_request(np.array([1.0, 0.0]), p)
+    assert all(isinstance(r, Linear) for r in out)
+    assert len(out) >= 1
+
+
+def test_identify_request_reads_parents():
+    parent = from_box([0.0, 0.0], [1.0, 1.0])
+    S = Poly(np.array([[1.0, 0.0]]), [0.0], [1.0], parent=parent)
+    S.row_parents = [parent]
+    reqs = requests.identify_request(S, np.array([1.0]))
+    assert len(reqs) >= 1
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    x = np.array([1.0, 2.0, 3.0])
+    pu = PolyUnion([from_box([0.0], [1.0]), from_box([2.0], [3.0])])
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_state(path, x, Sol={7: pu},
+                          iterate_cache={1: [np.array([0.5, 0.5])]},
+                          meta={"iteration": 3})
+    state = checkpoint.load_state(path)
+    assert np.allclose(state["x"], x)
+    assert len(state["Sol"][7]) == 2
+    assert state["Sol"][7][0].contains(np.array([0.5]))
+    assert state["meta"]["iteration"] == 3
+    assert len(state["iterate_cache"][1]) == 1
+
+
+def test_solve_with_checkpoint(tmp_path):
+    qpn = qt.setup("simple_bilevel", gen_solution_map=True)
+    path = str(tmp_path / "run.npz")
+    ret = qt.solve(qpn, np.array([1.0, 0.0, 0.0, 0.0]),
+                   checkpoint_path=path)
+    assert ret.solved
+    state = checkpoint.load_state(path)
+    assert state["meta"].get("solved") is True
+    assert np.allclose(state["x"], ret.x_opt)
+    assert 2 in state["Sol"]
+    # resume from the checkpoint: already at the fixed point
+    ret2 = checkpoint.resume(qpn, path)
+    assert ret2.solved
+    assert np.allclose(ret2.x_opt, ret.x_opt, atol=1e-6)
+
+
+def test_metrics_scope():
+    m = Metrics()
+    m.bump("a")
+    m.bump("a", 2)
+    with m.timer("t"):
+        pass
+    snap = m.snapshot()
+    assert snap["a"] == 3
+    assert "time/t" in snap

@@ -1,0 +1,75 @@
+"""End-to-end example-model tests (the reference's de-facto extended tests:
+four_player cross-checks, robust_avoid_simple 3-level solve)."""
+
+import numpy as np
+import pytest
+
+import qpn_tpu as qt
+
+
+@pytest.mark.slow
+def test_robust_avoid_simple_solves():
+    qpn = qt.setup("robust_avoid_simple", num_obj=1)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    x = ret.x_opt
+    # separation certificates nonnegative at equilibrium (ego constraint)
+    eps = x[-1]
+    assert eps >= -1e-6
+
+
+def test_four_player_nash_vs_bilevel():
+    """Nash and bilevel DAGs on the same costs give different equilibria
+    (the structural point of the example)."""
+    nash = qt.setup("four_player_matrix_game", edge_list=[], seed=2)
+    r1 = qt.solve(nash, np.zeros(8))
+    assert r1.solved
+    bil = qt.setup("four_player_matrix_game", edge_list=[(1, 2)], seed=2)
+    r2 = qt.solve(bil, np.zeros(8))
+    assert r2.solved
+    assert not np.allclose(r1.x_opt, r2.x_opt, atol=1e-4)
+
+
+def test_four_player_equilibrium_crosscheck():
+    """A Nash equilibrium re-solved from itself stays put (the
+    search_for_game validation primitive, four_player_matrix_game.jl:226-237)."""
+    net = qt.setup("four_player_matrix_game", edge_list=[], seed=2)
+    r1 = qt.solve(net, np.zeros(8))
+    assert r1.solved
+    r2 = qt.solve(net, r1.x_opt)
+    assert r2.solved
+    assert np.allclose(r1.x_opt, r2.x_opt, atol=1e-6)
+
+
+def test_unique_edge_lists_structure():
+    from qpn_tpu.models.four_player_matrix_game import (
+        compute_unique_edge_lists, graph_is_redundant)
+    # symmetry detector: 1->2 vs 1->3 are the same graph up to relabeling
+    assert graph_is_redundant(frozenset({(1, 2)}), [frozenset({(1, 3)})])
+    assert not graph_is_redundant(frozenset({(2, 1)}), [frozenset({(1, 3)})])
+
+
+@pytest.mark.slow
+def test_deep_synthetic_three_levels():
+    qpn = qt.setup("deep_synthetic", levels=3, width=1, seed=0)
+    assert qpn.num_levels() == 3
+    ret = qt.solve(qpn)
+    assert ret.solved
+
+
+def test_robust_avoid_model_builds():
+    qpn = qt.setup("robust_avoid", T=2, num_obj=1)
+    assert qpn.num_levels() == 3
+    # scenario batch tensors for the bench / parallel path
+    from qpn_tpu.models.robust_avoid import scenario_batch_gavis
+    batch = scenario_batch_gavis(num_scenarios=4, T=1, num_obj=1,
+                                 num_poly_faces=3)
+    assert batch["M"].shape[0] == 4
+    assert batch["mask"].any()
+
+
+def test_flat_initialization():
+    qpn = qt.setup("four_player_matrix_game", edge_list=[(1, 2)], seed=2)
+    x0 = qpn.get_flat_initialization()
+    assert x0.shape == (8,)
+    assert np.isfinite(x0).all()
