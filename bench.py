@@ -26,21 +26,15 @@ def main():
     import jax.numpy as jnp
 
     from qpn_tpu.models.robust_avoid import scenario_batch_gavis
-    from qpn_tpu.ops.avi import solve_avi_batch
+    from qpn_tpu.ops.avi import solve_avi_batch, solve_avi_batch_mixed
+    if backend == "tpu":
+        solve_avi_batch = solve_avi_batch_mixed  # noqa: F811 (f32 bulk + f64 polish)
 
     S = 256
-    batch = scenario_batch_gavis(num_scenarios=min(S, 64), T=2, num_obj=1,
+    batch = scenario_batch_gavis(num_scenarios=S, T=2, num_obj=1,
                                  num_poly_faces=4, seed=0)
-    # tile up to S scenarios (same shapes, distinct q via jitter)
-    reps = S // batch["M"].shape[0]
-    rng = np.random.default_rng(0)
-    M = np.tile(batch["M"], (reps, 1, 1))
-    q = np.tile(batch["q"], (reps, 1)) + 0.01 * rng.standard_normal(
-        (S, batch["q"].shape[1]))
-    l = np.tile(batch["l"], (reps, 1))
-    u = np.tile(batch["u"], (reps, 1))
-    z0 = np.tile(batch["z0"], (reps, 1))
-    mask = np.tile(batch["mask"], (reps, 1))
+    M, q, l, u = batch["M"], batch["q"], batch["l"], batch["u"]
+    z0, mask = batch["z0"], batch["mask"]
 
     tol, iters = 1e-8, 840
 

@@ -18,9 +18,23 @@ from __future__ import annotations
 
 import dataclasses
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the solver's while-loop kernels are expensive
+# to compile (minutes through a remote-TPU compile tunnel); cache them across
+# processes so benches and repeated runs pay compile cost once.
+_CACHE_DIR = os.environ.get(
+    "QPN_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/qpn_tpu_xla"))
+try:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 import jax.numpy as jnp  # noqa: E402  (after x64 flag)
 import numpy as np  # noqa: E402
@@ -39,6 +53,17 @@ class NumericConfig:
     dim_buckets: tuple = (4, 8, 16, 32, 64, 128, 256)
     # Large-but-finite stand-in for Inf inside kernels that cannot tolerate it.
     big: float = 1e20
+    # f32 Pallas feasibility pre-screen before exact emptiness LPs.
+    # None = auto (enabled on the TPU backend, where the fused f32 kernel is
+    # nearly free and the f64 LP is emulated).
+    use_pallas_screen: bool | None = None
+
+
+def pallas_screen_enabled() -> bool:
+    if CONFIG.use_pallas_screen is not None:
+        return CONFIG.use_pallas_screen
+    import jax
+    return jax.default_backend() == "tpu"
 
 
 CONFIG = NumericConfig()

@@ -24,10 +24,45 @@ from __future__ import annotations
 
 import numpy as np
 
+from collections import namedtuple
+
 from ..config import CONFIG
 
 _NORM_TOL = 1e-8
 _QUANT_DIGITS = 5  # reference rounds to 5 digits for dedup (sets.jl:105-112)
+
+
+# Provenance label identifying where a halfspace was introduced in the QPNet
+# (sets.jl:53-58).  Carried per row bound; unioned when parallel rows merge.
+HalfspaceLabel = namedtuple(
+    "HalfspaceLabel", ["level", "subpiece_index", "comp_index", "bound_index"])
+
+
+def lexico_positive(a, tol: float = _NORM_TOL):
+    """(is_lexico_positive, |first nonzero|) — sets.jl:18-25."""
+    a = np.asarray(a, dtype=np.float64)
+    nz = np.nonzero(np.abs(a) > tol)[0]
+    if len(nz) == 0:
+        raise ValueError("zero vector has no lexico sign")
+    lead = a[nz[0]]
+    return bool(lead >= 0), float(abs(lead))
+
+
+def get_lexico_ordering(A, tol: float = _NORM_TOL):
+    """Row ordering by leading-nonzero column (sets.jl:27-46)."""
+    A = np.asarray(A, dtype=np.float64)
+    m, n = A.shape
+    order = []
+    for j in range(n):
+        for i in range(m):
+            nz = np.nonzero(np.abs(A[i]) > tol)[0]
+            if len(nz) == 0:
+                if j == 0:
+                    order.append(i)
+                continue
+            if nz[0] == j:
+                order.append(i)
+    return order
 
 
 def _normalize_rows(A, l, u, strict_l, strict_u):
@@ -91,10 +126,11 @@ class Poly:
     """
 
     __slots__ = ("A", "l", "u", "strict_l", "strict_u", "parent", "row_parents",
-                 "_key")
+                 "labels_l", "labels_u", "_key")
 
     def __init__(self, A, l, u, strict_l=None, strict_u=None, *, parent=None,
-                 row_parents=None, normalize=True, dedupe=True):
+                 row_parents=None, labels_l=None, labels_u=None,
+                 normalize=True, dedupe=True):
         A = np.asarray(A, dtype=np.float64)
         if A.ndim == 1:
             A = A[None, :]
@@ -117,6 +153,8 @@ class Poly:
         else:
             row_parents = list(row_parents)
             assert len(row_parents) == m
+        labels_l = [frozenset()] * m if labels_l is None else list(labels_l)
+        labels_u = [frozenset()] * m if labels_u is None else list(labels_u)
 
         if dedupe and m > 0:
             # Set-of-Slice semantics: rows equal under 5-digit rounding collapse
@@ -131,11 +169,14 @@ class Poly:
                 A, l, u = A[keep], l[keep], u[keep]
                 strict_l, strict_u = strict_l[keep], strict_u[keep]
                 row_parents = [row_parents[i] for i in keep]
+                labels_l = [labels_l[i] for i in keep]
+                labels_u = [labels_u[i] for i in keep]
 
         self.A, self.l, self.u = A, l, u
         self.strict_l, self.strict_u = strict_l, strict_u
         self.parent = parent
         self.row_parents = row_parents
+        self.labels_l, self.labels_u = labels_l, labels_u
         self._key = None
 
     # -- basic protocol ----------------------------------------------------
@@ -213,6 +254,7 @@ class Poly:
                 kept.append(i)
                 groups.append([i])
         newA, newl, newu, newsl, newsu, rp = [], [], [], [], [], []
+        nll, nlu = [], []
         for rep, grp in zip(kept, groups):
             gl, gu = l[grp], u[grp]
             gsl, gsu = sl[grp], su[grp]
@@ -231,9 +273,15 @@ class Poly:
             newsl.append(msl)
             newsu.append(msu)
             rp.append(self.row_parents[rep])
+            # provenance labels union across tied bounds (sets.jl:280, 293)
+            nll.append(frozenset().union(
+                *[self.labels_l[g] for g, t in zip(grp, tie_l) if t]))
+            nlu.append(frozenset().union(
+                *[self.labels_u[g] for g, t in zip(grp, tie_u) if t]))
         return Poly(np.array(newA), np.array(newl), np.array(newu),
                     np.array(newsl), np.array(newsu), parent=self.parent,
-                    row_parents=rp, normalize=False)
+                    row_parents=rp, labels_l=nll, labels_u=nlu,
+                    normalize=False)
 
     def poly_slice(self, x_partial) -> "Poly":
         """Fix coordinates where ``x_partial`` is not NaN (sets.jl:532-548)."""
@@ -287,7 +335,10 @@ def intersect(*polys: Poly) -> Poly:
     su = np.concatenate([p.strict_u for p in polys])
     rp = [par for p in polys
           for par in (p.row_parents if p.row_parents else [p.parent] * p.m)]
-    return Poly(A, l, u, sl, su, row_parents=rp, normalize=False, dedupe=False)
+    ll = [lab for p in polys for lab in p.labels_l]
+    lu = [lab for p in polys for lab in p.labels_u]
+    return Poly(A, l, u, sl, su, row_parents=rp, labels_l=ll, labels_u=lu,
+                normalize=False, dedupe=False)
 
 
 def from_box(lo, hi) -> Poly:

@@ -158,7 +158,11 @@ def is_empty(poly: Poly, tol: float = 1e-4, x=None) -> bool:
 
 
 def is_empty_batch(polys: Sequence[Poly], tol: float = 1e-4, x=None):
-    """Batched emptiness with optional shared witness point."""
+    """Batched emptiness with optional shared witness point.
+
+    On TPU a fused f32 Pallas projected-subgradient screen
+    (ops/pallas_kernels.feasibility_screen) first harvests cheap witnesses;
+    only unwitnessed polys pay for the exact f64 ε-inflation LP."""
     polys = list(polys)
     need = []
     out = np.zeros(len(polys), dtype=bool)
@@ -167,6 +171,20 @@ def is_empty_batch(polys: Sequence[Poly], tol: float = 1e-4, x=None):
             out[i] = False
         else:
             need.append(i)
+    if need:
+        from ..config import pallas_screen_enabled
+        if pallas_screen_enabled() and len(need) >= 4:
+            sub = [polys[i] for i in need]
+            if len({p.dim for p in sub}) == 1 and not any(
+                    p.strict_l.any() or p.strict_u.any() for p in sub):
+                try:
+                    from ..ops.pallas_kernels import feasibility_screen
+                    witnessed, _ = feasibility_screen(
+                        sub, x0=None if x is None else
+                        np.asarray(x)[: sub[0].dim])
+                    need = [i for i, w in zip(need, witnessed) if not w]
+                except Exception:  # pragma: no cover - screen is best-effort
+                    pass
     if need:
         empty, _ = exemplar_batch([polys[i] for i in need])
         for k, i in enumerate(need):

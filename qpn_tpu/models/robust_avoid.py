@@ -128,54 +128,49 @@ def setup(T: int = 3, num_obj: int = 1, num_poly_faces: int = 4,
 def scenario_batch_gavis(num_scenarios: int = 64, T: int = 3,
                          num_obj: int = 1, num_poly_faces: int = 4,
                          seed: int = 0):
-    """Emit the batched KKT AVIs of S scenario instances (padded tensors).
+    """Emit the batched KKT AVIs of S uncertainty scenarios (padded tensors).
 
-    Each scenario perturbs the obstacle geometry; per scenario we assemble the
-    certificate-level (deepest) QEP GAVI and convert to a box AVI.  Returns
-    dict of stacked (M, q, l, u, z0, mask) numpy tensors ready for
+    One model is built; scenarios vary the *parameter* vector — initial ego /
+    obstacle positions (the robust_avoid uncertainty axis) — which enters the
+    certificate-level QEP AVI through ``q = N w + o``, plus a small jitter on
+    the separation offsets (l2/u2).  Returns dict of stacked
+    (M, q, l, u, z0, mask) numpy tensors ready for
     ``ops.avi.solve_avi_batch`` — the bench and the multi-chip scenario
     sharding path both consume this."""
     from ..algorithm import create_labeled_gavi_from_qp, combine_gavis
     from ..ops.avi import convert_gavi
 
-    Ms, qs, ls, us, z0s = [], [], [], [], []
-    for sidx in range(num_scenarios):
-        net = setup(T=T, num_obj=num_obj, num_poly_faces=num_poly_faces,
-                    seed=seed + sidx)
-        deepest = net.num_levels()
-        players = sorted(net.network_depth_map[deepest])
-        x = net.default_initialization
-        dec_inds = sorted(set().union(*[set(net.decision_inds(i))
-                                        for i in players]))
-        param_inds = [i for i in range(net.num_vars)
-                      if i not in set(dec_inds)]
-        labeled = {pid: create_labeled_gavi_from_qp(net, pid, {})
-                   for pid in players}
-        gavi = combine_gavis(net.num_vars, dec_inds, param_inds, labeled)
-        avi = convert_gavi(gavi)
-        w = x[param_inds]
-        q = avi.N @ w + avi.o
-        z0 = np.zeros(len(q))
-        Ms.append(avi.M)
-        qs.append(q)
-        ls.append(avi.l)
-        us.append(avi.u)
-        z0s.append(z0)
+    rng = np.random.default_rng(seed)
+    net = setup(T=T, num_obj=num_obj, num_poly_faces=num_poly_faces,
+                seed=seed)
+    deepest = net.num_levels()
+    players = sorted(net.network_depth_map[deepest])
+    x = net.default_initialization
+    dec_inds = sorted(set().union(*[set(net.decision_inds(i))
+                                    for i in players]))
+    param_inds = [i for i in range(net.num_vars) if i not in set(dec_inds)]
+    labeled = {pid: create_labeled_gavi_from_qp(net, pid, {})
+               for pid in players}
+    gavi = combine_gavis(net.num_vars, dec_inds, param_inds, labeled)
+    avi = convert_gavi(gavi)
 
-    n_max = max(M.shape[0] for M in Ms)
-    S = len(Ms)
-    Mt = np.zeros((S, n_max, n_max))
-    qt = np.zeros((S, n_max))
-    lt = np.zeros((S, n_max))
-    ut = np.zeros((S, n_max))
-    zt = np.zeros((S, n_max))
-    mask = np.zeros((S, n_max), dtype=bool)
-    for i, (M, q, l, u, z0) in enumerate(zip(Ms, qs, ls, us, z0s)):
-        n = M.shape[0]
-        Mt[i, :n, :n] = M
-        qt[i, :n] = q
-        lt[i, :n] = l
-        ut[i, :n] = u
-        zt[i, :n] = z0
-        mask[i, :n] = True
+    S = num_scenarios
+    n = avi.M.shape[0]
+    Mt = np.repeat(avi.M[None], S, axis=0)
+    qt = np.zeros((S, n))
+    lt = np.repeat(avi.l[None], S, axis=0)
+    ut = np.repeat(avi.u[None], S, axis=0)
+    for sidx in range(S):
+        w = x[param_inds].copy()
+        # scenario: perturbed initial positions (the uncertainty axis)
+        w[: 2 * (1 + num_obj)] += rng.standard_normal(2 * (1 + num_obj))
+        qt[sidx] = avi.N @ w + avi.o
+        # jittered separation offsets on finite bounds
+        fin_l = np.isfinite(lt[sidx])
+        fin_u = np.isfinite(ut[sidx])
+        jl = 0.05 * rng.standard_normal(n)
+        both = fin_l & fin_u & (np.abs(ut[sidx] - lt[sidx]) < 1e-12)
+        lt[sidx, fin_l & ~both] += jl[fin_l & ~both]
+    zt = np.zeros((S, n))
+    mask = np.ones((S, n), dtype=bool)
     return dict(M=Mt, q=qt, l=lt, u=ut, z0=zt, mask=mask)

@@ -307,6 +307,27 @@ def solve_avi_batch(M, q, l, u, z0, var_mask, *, tol=1e-10, max_iter=4000):
         M, q, l, u, z0, var_mask)
 
 
+@functools.partial(jax.jit, static_argnames=("tol", "max_iter"))
+def solve_avi_batch_mixed(M, q, l, u, z0, var_mask, *, tol=1e-10,
+                          max_iter=4000):
+    """Mixed-precision batched solve: the bulk of the hybrid Newton/proximal
+    iteration runs in f32 (native MXU path — f64 is software-emulated on TPU),
+    then a short f64 Newton polish drives the natural residual to the
+    PATH-parity tolerance.  The polish warm-starts at the f32 solution, so it
+    typically needs 1–3 active-set-exact steps."""
+    f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
+    fn32 = functools.partial(_newton_solve, tol=1e-5, max_iter=max_iter)
+    res32 = jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn32(
+        M_, q_, l_, u_, z_, var_mask=vm))(
+        f32(M), f32(q), f32(l), f32(u), f32(z0), var_mask)
+    z1 = res32.z.astype(M.dtype)
+    fn64 = functools.partial(_newton_solve, tol=tol,
+                             max_iter=max(520, max_iter // 8))
+    res = jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn64(
+        M_, q_, l_, u_, z_, var_mask=vm))(M, q, l, u, z1, var_mask)
+    return res
+
+
 def solve_avi_batch_padded(M, q, l, u, z0, var_mask, **kw):
     """Bucket-pad the batch and variable dimensions so ragged AVI ensembles
     reuse a handful of compiled kernels (see config.dim_buckets)."""

@@ -1,0 +1,225 @@
+"""Pallas TPU kernels for the hot screening paths.
+
+Numeric strategy: the equilibrium core needs f64 (PATH-parity tolerances down
+to 1e-10), which the MXU does not execute natively — XLA emulates it.  The
+*bulk* of the work, though, is screening: warm-starting AVI solves and
+pre-filtering thousands of candidate pieces where 1e-3 accuracy decides.
+Those run here as fused f32 Pallas kernels with everything VMEM-resident
+(one grid program per batch element, matrices padded to lane width 128), and
+only the survivors hit the f64 XLA path:
+
+* :func:`eg_warmstart` — K fused extragradient steps on a batch of box AVIs
+  (2 matvecs/step on the MXU, zero HBM traffic between steps).  Output seeds
+  the f64 semismooth Newton.
+* :func:`feasibility_screen` — K projected-subgradient steps on
+  ``max violation of l ≤ Ax ≤ u``; returns the final witness and violation.
+  ``violation ≤ margin`` proves the piece nonempty (witness in hand) without
+  an exact LP; the rest fall through to the ε-inflation kernel.
+
+On non-TPU backends the kernels run in Pallas interpret mode (same semantics,
+used by the CPU test suite).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+_LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_lane(n: int) -> int:
+    return ((n + _LANE - 1) // _LANE) * _LANE
+
+
+def _pad8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+# --------------------------------------------------------------------------
+#  extragradient warm start
+# --------------------------------------------------------------------------
+
+def _eg_kernel(M_ref, q_ref, l_ref, u_ref, z_ref, tau_ref, out_ref, *, steps):
+    M = M_ref[0]              # (n, n)
+    q = q_ref[0]              # (1, n)
+    l = l_ref[0]
+    u = u_ref[0]
+    tau = tau_ref[0]          # (1, 1)
+    z = z_ref[0]
+
+    def body(i, z):
+        F = jnp.dot(z, M.T, preferred_element_type=jnp.float32) + q
+        z_half = jnp.clip(z - tau * F, l, u)
+        F_half = jnp.dot(z_half, M.T, preferred_element_type=jnp.float32) + q
+        return jnp.clip(z - tau * F_half, l, u)
+
+    out_ref[0] = jax.lax.fori_loop(0, steps, body, z)
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _eg_call(M, q, l, u, z0, tau, *, steps):
+    B, n, _ = M.shape
+    kern = functools.partial(_eg_kernel, steps=steps)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
+        interpret=_interpret(),
+    )(M, q, l, u, z0, tau)
+
+
+def eg_warmstart(M, q, l, u, z0, var_mask, steps: int = 200):
+    """Run `steps` fused f32 extragradient iterations on each box AVI in the
+    batch; returns improved starting points (f64, original width)."""
+    M = np.asarray(M, dtype=np.float64)
+    B, n, _ = M.shape
+    np_ = _pad_lane(n)
+    mask = np.asarray(var_mask, dtype=bool)
+
+    Mp = np.zeros((B, np_, np_), dtype=np.float32)
+    mm = mask[:, :, None] & mask[:, None, :]
+    Mp[:, :n, :n] = np.where(mm, M, 0.0)
+    idx = np.arange(np_)
+    # padded/masked vars: identity row with l=u=0 pins them
+    diag_mask = np.ones((B, np_), dtype=bool)
+    diag_mask[:, :n] = ~mask
+    Mp[:, idx, idx] = np.where(diag_mask, 1.0, Mp[:, idx, idx])
+
+    def padvec(v, fill):
+        out = np.full((B, 1, np_), fill, dtype=np.float32)
+        out[:, 0, :n] = np.where(mask, np.asarray(v, dtype=np.float64), fill)
+        return out
+
+    BIG = np.float32(3e38)
+    qb = padvec(q, 0.0)
+    lb = np.clip(padvec(l, 0.0), -BIG, BIG)
+    ub = np.clip(padvec(u, 0.0), -BIG, BIG)
+    lb[:, 0, n:] = 0.0
+    ub[:, 0, n:] = 0.0
+    # re-fill masked/infinite bounds
+    lraw = np.full((B, np_), 0.0)
+    uraw = np.full((B, np_), 0.0)
+    lraw[:, :n] = np.where(mask, l, 0.0)
+    uraw[:, :n] = np.where(mask, u, 0.0)
+    lb[:, 0, :] = np.where(np.isfinite(lraw), lraw, -BIG).astype(np.float32)
+    ub[:, 0, :] = np.where(np.isfinite(uraw), uraw, BIG).astype(np.float32)
+    lb[:, 0, n:] = 0.0
+    ub[:, 0, n:] = 0.0
+
+    z0p = padvec(z0, 0.0)
+    Linf = np.max(np.sum(np.abs(Mp), axis=2), axis=1)
+    tau = (0.9 / (1.0 + Linf)).astype(np.float32).reshape(B, 1, 1)
+
+    out = _eg_call(Mp, qb, lb, ub, z0p, tau, steps=steps)
+    z = np.asarray(out)[:, 0, :n].astype(np.float64)
+    return np.where(mask, z, 0.0)
+
+
+# --------------------------------------------------------------------------
+#  feasibility screen
+# --------------------------------------------------------------------------
+
+def _screen_kernel(A_ref, l_ref, u_ref, x_ref, out_x_ref, out_v_ref, *,
+                   steps, lr):
+    A = A_ref[0]              # (m, n)
+    l = l_ref[0]              # (1, m)
+    u = u_ref[0]
+    x = x_ref[0]              # (1, n)
+
+    def viol(x):
+        ax = jnp.dot(x, A.T, preferred_element_type=jnp.float32)
+        return jnp.maximum(l - ax, 0.0) + jnp.minimum(u - ax, 0.0)
+
+    def body(i, x):
+        v = viol(x)           # positive where below l, negative where above u
+        g = jnp.dot(v, A, preferred_element_type=jnp.float32)
+        return x + lr * g
+
+    x = jax.lax.fori_loop(0, steps, body, x)
+    v = viol(x)
+    out_x_ref[0] = x
+    out_v_ref[0] = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "lr"))
+def _screen_call(A, l, u, x0, *, steps, lr):
+    B, m, n = A.shape
+    kern = functools.partial(_screen_kernel, steps=steps, lr=lr)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, m, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, m), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, m), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+                   pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1, 1), jnp.float32)),
+        interpret=_interpret(),
+    )(A, l, u, x0)
+
+
+def feasibility_screen(polys, x0=None, steps: int = 120, lr: float = 0.05,
+                       margin: float = 1e-3):
+    """Cheap f32 feasibility witnesses for a batch of polys (same dim).
+
+    Returns (witnessed: bool array, witnesses: list).  ``witnessed[i]`` True
+    means a point with max violation ≤ margin was found — the poly is
+    certainly nonempty (up to margin) and the exact LP can be skipped."""
+    B = len(polys)
+    if B == 0:
+        return np.zeros(0, dtype=bool), []
+    n = polys[0].dim
+    m_max = max(max(p.m, 1) for p in polys)
+    mp = _pad8(m_max)
+    np_ = _pad_lane(n)
+    BIG = np.float32(3e38)
+    A = np.zeros((B, mp, np_), dtype=np.float32)
+    l = np.full((B, 1, mp), -BIG, dtype=np.float32)
+    u = np.full((B, 1, mp), BIG, dtype=np.float32)
+    for i, p in enumerate(polys):
+        A[i, :p.m, :n] = p.A
+        l[i, 0, :p.m] = np.where(np.isfinite(p.l), p.l, -BIG)
+        u[i, 0, :p.m] = np.where(np.isfinite(p.u), p.u, BIG)
+    x = np.zeros((B, 1, np_), dtype=np.float32)
+    if x0 is not None:
+        x[:, 0, :n] = np.asarray(x0, dtype=np.float32)
+    # row-normalize for a uniform step size
+    norms = np.maximum(np.linalg.norm(A, axis=2, keepdims=True), 1e-6)
+    A_n = A / norms
+    nt = norms.transpose(0, 2, 1)
+    l_fin = np.clip(l, -1e30, 1e30) / nt
+    u_fin = np.clip(u, -1e30, 1e30) / nt
+    l_n = np.where(l <= -BIG / 2, l, l_fin).astype(np.float32)
+    u_n = np.where(u >= BIG / 2, u, u_fin).astype(np.float32)
+    xs, vs = _screen_call(A_n, l_n, u_n, x, steps=steps, lr=lr)
+    xs = np.asarray(xs)[:, 0, :n].astype(np.float64)
+    vs = np.asarray(vs)[:, 0, 0]
+    witnessed = np.zeros(B, dtype=bool)
+    witnesses = [None] * B
+    for i, p in enumerate(polys):
+        if vs[i] <= margin and p.closure().contains(xs[i], tol=max(margin, 1e-4)):
+            witnessed[i] = True
+            witnesses[i] = xs[i]
+    return witnessed, witnesses

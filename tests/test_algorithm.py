@@ -1,0 +1,139 @@
+"""Algorithm-layer edge cases: verify_solution, cycling detection, failure
+paths, combine width guard, intersection iterator semantics."""
+
+import numpy as np
+import pytest
+
+import qpn_tpu as qt
+from qpn_tpu.algorithm import (verify_solution, check_qp_convexity, _combine,
+                               intersection_iter, solve_qep)
+from qpn_tpu.geometry.poly import Poly, PolyUnion, from_box
+from qpn_tpu.network import QP, Quadratic
+
+
+def _qp(Q, q, cons, vars_):
+    return QP(f=Quadratic(np.asarray(Q), np.asarray(q), 0.0),
+              constraint_indices=cons, var_indices=vars_)
+
+
+def test_verify_solution_interior_optimum():
+    # min (x-1)^2 over R: optimal at x=1 with no constraints
+    qp = _qp([[2.0]], [-2.0], [], [0])
+    ret = verify_solution(qp, 1, [], [0], np.array([1.0]))
+    assert ret.solution
+    ret = verify_solution(qp, 1, [], [0], np.array([0.5]))
+    assert not ret.solution
+
+
+def test_verify_solution_active_constraint():
+    # min x s.t. x >= 0: optimal at 0 with dual 1
+    qp = _qp([[0.0]], [1.0], [1], [0])
+    box = Poly(np.array([[1.0]]), [0.0], [np.inf])
+    ret = verify_solution(qp, 1, [box], [0], np.array([0.0]))
+    assert ret.solution
+    assert ret.lam[0] == pytest.approx(1.0, abs=1e-6)
+    # x=1 is feasible but suboptimal
+    ret = verify_solution(qp, 1, [box], [0], np.array([1.0]))
+    assert not ret.solution
+    # infeasible point
+    ret = verify_solution(qp, 1, [box], [0], np.array([-1.0]))
+    assert not ret.solution
+    assert "infeasible" in ret.e
+
+
+def test_check_qp_convexity_raises():
+    A = np.array([[1.0]])
+    with pytest.raises(RuntimeError, match="not convex"):
+        check_qp_convexity(np.array([[-2.0]]), A, np.array([0.0]),
+                           np.array([1.0]), [0], 9)
+    # nullspace-restricted convexity: indefinite Q but equality pins the
+    # concave direction
+    Q = np.diag([-2.0, 2.0])
+    A = np.array([[1.0, 0.0]])
+    check_qp_convexity(Q, A, np.array([0.5]), np.array([0.5]), [0, 1], 9)
+
+
+def test_cycling_detection():
+    qpn = qt.setup("simple_bilevel")
+    qpn.iterate_cache[1] = []
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    # seed the cache with the projection of x, then solve from x with the
+    # same projections -> cycling detected immediately
+    rng = np.random.default_rng(0)
+    proj = [rng.standard_normal(4) for _ in range(4)]
+    qpn.iterate_cache[1] = [np.array([x @ v for v in proj])]
+    from qpn_tpu.algorithm import solve_base
+    ret = solve_base(qpn, x, proj_vectors=proj,
+                     rng=np.random.default_rng(1))
+    assert not ret.solved
+    assert "Cycling" in str(ret.error)
+
+
+def test_combine_width_guard():
+    # >3 unions with total width >20 must abort (qp_processing.jl:281-285)
+    big_union = PolyUnion([from_box([float(i)], [i + 1.0])
+                           for i in range(6)])
+    regions = [from_box([0.0], [10.0]) for _ in range(4)]
+    sols = [big_union] * 4
+    with pytest.raises(RuntimeError, match="Too many"):
+        list(_combine(regions, sols, np.array([0.5])))
+
+
+def test_combine_single_union_shortcut():
+    pu = PolyUnion([from_box([0.0], [1.0])])
+    out = _combine([from_box([0.0], [1.0])], [pu], np.array([0.5]))
+    assert len(list(out)) == 1
+
+
+def test_intersection_iter_prunes_and_redzone():
+    # two unions, each = {solution piece, complement piece}; red_lengths = 1
+    # each; the all-complement combo must be excluded.
+    sol_a = from_box([0.0], [1.0])
+    comp_a = from_box([1.0], [2.0])
+    sol_b = from_box([0.5], [1.5])
+    comp_b = from_box([-1.0], [0.5])
+    pus = [PolyUnion([sol_a, comp_a]), PolyUnion([sol_b, comp_b])]
+    center = np.array([0.5])
+    out = list(intersection_iter(pus, [1, 1], center))
+    # combos: (sol_a,sol_b) ok; (sol_a,comp_b) ok (touches 0.5);
+    # (comp_a,*) pruned (0.5 not in closure); (comp_a,comp_b) redzone anyway
+    assert 1 <= len(out) <= 2
+    for p in out:
+        assert p.closure().contains(center)
+
+
+def test_solve_qep_single_player_matches_qp():
+    """QEP of a single unconstrained player = its QP optimum."""
+    qpn = qt.setup("simple_bilevel")
+    x = np.array([1.0, 2.0, 0.0, 0.0])
+    # player 2 (leader) with child solution graph = follower fixed at y=x
+    S = {1: Poly(np.array([[0.0, 0.0, 1.0, -1.0]]), [0.0], [0.0])}
+    x_opt = solve_qep(qpn, [2], x, S)
+    # leader minimizes (x-w1)^2 + (y-w2)^2 s.t. y=x -> x=y=(w1+w2)/2
+    assert np.allclose(x_opt[2:], [1.5, 1.5], atol=1e-6)
+
+
+def test_eliminate_variables():
+    from qpn_tpu.geometry import eliminate_variables
+    # x + y = 1, 0 <= x <= 1, eliminate y
+    p = Poly(np.array([[1.0, 1.0], [1.0, 0.0]]), [1.0, 0.0], [1.0, 1.0])
+    out = eliminate_variables(p, [1])
+    # result lives on the keep coordinates (x): [0, 1]
+    assert out.dim == 1
+    assert out.contains(np.array([0.5]))
+    assert not out.contains(np.array([1.5]))
+
+
+def test_get_single_solution_runs():
+    from qpn_tpu.enumeration import get_single_solution
+    from qpn_tpu.ops.avi import GAVI
+    g = GAVI(M=np.array([[2.0, -1.0]]), N=np.array([[-2.0]]),
+             o=np.array([0.0]),
+             l1=np.array([-np.inf]), u1=np.array([np.inf]),
+             A=np.array([[1.0, 0.0]]), B=np.array([[0.0]]),
+             l2=np.array([0.0]), u2=np.array([np.inf]))
+    piece, x, reduced, z = get_single_solution(
+        g, np.array([2.0, 0.0]), np.array([2.0]), 0, 0, [0], [1],
+        np.random.default_rng(0))
+    assert piece.m >= 1
+    assert np.allclose(x, [2.0, 2.0])

@@ -1,0 +1,63 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+from qpn_tpu.ops import pallas_kernels as pk
+from qpn_tpu.geometry.poly import Poly, from_box
+
+
+def test_eg_warmstart_lcp():
+    M = np.eye(2)[None]
+    q = np.array([[-1.0, 2.0]])
+    l = np.zeros((1, 2))
+    u = np.full((1, 2), np.inf)
+    z = pk.eg_warmstart(M, q, l, u, np.zeros((1, 2)),
+                        np.ones((1, 2), dtype=bool), steps=300)
+    assert np.allclose(z[0], [1.0, 0.0], atol=1e-2)
+
+
+def test_eg_warmstart_masked_vars():
+    # padded variable must stay pinned at 0
+    M = np.eye(3)[None]
+    q = np.array([[-1.0, 2.0, 5.0]])
+    l = np.zeros((1, 3))
+    u = np.full((1, 3), np.inf)
+    mask = np.array([[True, True, False]])
+    z = pk.eg_warmstart(M, q, l, u, np.zeros((1, 3)), mask, steps=300)
+    assert z[0, 2] == 0.0
+
+
+def test_feasibility_screen_witnesses():
+    polys = [
+        from_box([0.0, 0.0], [1.0, 1.0]),
+        Poly(np.array([[1.0, 0.0], [1.0, 0.0]]), [2.0, -np.inf],
+             [np.inf, 1.0], dedupe=False),     # empty: x>=2 & x<=1
+        from_box([-3.0, -3.0], [-2.0, -2.0]),
+        Poly(np.array([[1.0, 1.0]]), [10.0], [np.inf]),  # halfspace far away
+    ]
+    witnessed, xs = pk.feasibility_screen(polys, steps=300, lr=0.1)
+    assert witnessed[0] and xs[0] is not None
+    assert not witnessed[1]
+    assert witnessed[2]
+    # unwitnessed is allowed to be conservative — never a false positive:
+    for w, p, xw in zip(witnessed, polys, xs):
+        if w:
+            assert p.closure().contains(xw, tol=1e-3)
+
+
+def test_screen_integration_flag():
+    """is_empty_batch with the screen force-enabled agrees with exact LPs."""
+    from qpn_tpu.config import CONFIG
+    from qpn_tpu.geometry import setops
+    polys = [from_box([0.0], [1.0]) for _ in range(4)] + [
+        Poly(np.array([[1.0], [1.0]]), [2.0, -np.inf], [np.inf, 1.0],
+             dedupe=False)]
+    exact = setops.is_empty_batch(polys)
+    old = CONFIG.use_pallas_screen
+    try:
+        CONFIG.use_pallas_screen = True
+        screened = setops.is_empty_batch(polys)
+    finally:
+        CONFIG.use_pallas_screen = old
+    assert np.array_equal(exact, screened)
