@@ -26,9 +26,12 @@ def main():
     import jax.numpy as jnp
 
     from qpn_tpu.models.robust_avoid import scenario_batch_gavis
-    from qpn_tpu.ops.avi import solve_avi_batch, solve_avi_batch_mixed
-    if backend == "tpu":
-        solve_avi_batch = solve_avi_batch_mixed  # noqa: F811 (f32 bulk + f64 polish)
+    from qpn_tpu.ops.avi import (solve_avi_batch,  # noqa: F401
+                                 solve_avi_batch_adaptive)
+    import functools
+    # straggler-decoupled, mixed-precision path (f32 bulk + f64 polish on TPU)
+    solve_avi_batch = functools.partial(solve_avi_batch_adaptive,
+                                        mixed=(backend == "tpu"))
 
     S = 256
     batch = scenario_batch_gavis(num_scenarios=S, T=2, num_obj=1,
@@ -36,17 +39,17 @@ def main():
     M, q, l, u = batch["M"], batch["q"], batch["l"], batch["u"]
     z0, mask = batch["z0"], batch["mask"]
 
-    tol, iters = 1e-8, 840
+    tol = 1e-8
 
     # warmup / compile
-    res = solve_avi_batch(M, q, l, u, z0, mask, tol=tol, max_iter=iters)
-    res.z.block_until_ready()
+    res = solve_avi_batch(M, q, l, u, z0, mask, tol=tol)
+    _ = np.asarray(res.z)
 
     t0 = time.perf_counter()
     n_runs = 3
     for _ in range(n_runs):
-        res = solve_avi_batch(M, q, l, u, z0, mask, tol=tol, max_iter=iters)
-        res.z.block_until_ready()
+        res = solve_avi_batch(M, q, l, u, z0, mask, tol=tol)
+        _ = np.asarray(res.z)
     t_batch = (time.perf_counter() - t0) / n_runs
     throughput = S / t_batch
     conv = float(np.asarray(res.converged).mean())
@@ -54,14 +57,14 @@ def main():
     # sequential baseline: one system at a time (PATH-loop stand-in)
     K = 8
     r1 = solve_avi_batch(M[:1], q[:1], l[:1], u[:1], z0[:1], mask[:1],
-                         tol=tol, max_iter=iters)
-    r1.z.block_until_ready()
+                         tol=tol)
+    _ = np.asarray(r1.z)
     t0 = time.perf_counter()
     for i in range(K):
         r1 = solve_avi_batch(M[i:i + 1], q[i:i + 1], l[i:i + 1], u[i:i + 1],
                              z0[i:i + 1], mask[i:i + 1],
-                             tol=tol, max_iter=iters)
-        r1.z.block_until_ready()
+                             tol=tol)
+        _ = np.asarray(r1.z)
     t_seq = (time.perf_counter() - t0) / K
     seq_throughput = 1.0 / t_seq
 

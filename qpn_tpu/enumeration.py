@@ -134,19 +134,19 @@ def comp_indices(gavi: GAVI, z, w, permuted_request=(), tol: float = 1e-2):
 
 
 def all_Ks(J) -> Set[Recipe]:
-    """Cartesian product of label choices (avi_solutions.jl:200-215)."""
+    """Cartesian product of label choices (avi_solutions.jl:200-215).
+
+    The expansion runs in the native C++ host kernel when available
+    (utils/native.recipe_product) — the Python product loop is the fallback."""
     count = 1
     for Ji in J:
         count *= len(Ji)
         if count > _MAX_RECIPES_PER_POINT:
             METRICS.bump("recipes_capped")
             break
-    out: Set[Recipe] = set()
-    for assignment in itertools.islice(
-            itertools.product(*[sorted(Ji) for Ji in J]),
-            _MAX_RECIPES_PER_POINT):
-        out.add(tuple(assignment))
-    return out
+    from .utils import native
+    arr = native.recipe_product(J, _MAX_RECIPES_PER_POINT)
+    return set(map(tuple, arr.tolist()))
 
 
 def max_freedom_K(J) -> Recipe:

@@ -158,13 +158,14 @@ class Poly:
 
         if dedupe and m > 0:
             # Set-of-Slice semantics: rows equal under 5-digit rounding collapse
-            # (sets.jl:104-112).
-            seen = {}
-            keep = []
-            for i, k in enumerate(_quant_key(A, l, u, strict_l, strict_u)):
-                if k not in seen:
-                    seen[k] = i
-                    keep.append(i)
+            # (sets.jl:104-112); native C++ kernel when available.
+            from ..utils.native import dedupe_rows_mask
+            stacked = np.column_stack([
+                A, np.nan_to_num(l, posinf=1e200, neginf=-1e200),
+                np.nan_to_num(u, posinf=1e200, neginf=-1e200),
+                strict_l.astype(np.float64), strict_u.astype(np.float64)])
+            keep_mask = dedupe_rows_mask(stacked)
+            keep = np.nonzero(keep_mask)[0].tolist()
             if len(keep) != m:
                 A, l, u = A[keep], l[keep], u[keep]
                 strict_l, strict_u = strict_l[keep], strict_u[keep]

@@ -110,4 +110,8 @@ def setup(num_obj: int = 2, num_poly_faces: int = 5,
     init = np.concatenate([x0e] + x0os
                           + [np.zeros(2 * (1 + num_obj)), np.zeros(3 * num_obj)])
     net.default_initialization = init
+
+    from .viz import visualize_robust_avoid_simple
+    net.visualization_function = (
+        lambda x: visualize_robust_avoid_simple(Ae, be, Aos, bos, x))
     return net

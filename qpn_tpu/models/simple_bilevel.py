@@ -34,4 +34,7 @@ def setup(**kwargs):
     b.assign_constraint_groups()
     b.set_options(debug_visualize=False, **kwargs)
     b.net.default_initialization = np.zeros(4)
+
+    from .viz import visualize_simple_bilevel
+    b.net.visualization_function = visualize_simple_bilevel
     return b.net

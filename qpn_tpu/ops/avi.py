@@ -259,7 +259,7 @@ def _newton_solve(M, q, l, u, z0, *, tol, max_iter, var_mask):
     # iterating z_ref is the proximal-point algorithm, convergent for any
     # monotone M; δ shrinks geometrically for a superlinear tail.
     round_cost = 40 + 30 + 60
-    max_rounds = jnp.int32(max(2, max_iter // round_cost))
+    max_rounds = jnp.maximum(2, max_iter // round_cost).astype(jnp.int32)
 
     def round_body(state):
         r, z, z_ref, delta, best_z, best_m, total_k = state
@@ -298,17 +298,20 @@ def _newton_solve(M, q, l, u, z0, *, tol, max_iter, var_mask):
                      converged=resid <= tol)
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "max_iter"))
-def solve_avi_batch(M, q, l, u, z0, var_mask, *, tol=1e-10, max_iter=4000):
-    """Batched box-AVI solve.  M (B,n,n), q/l/u/z0 (B,n), var_mask (B,n)."""
+@jax.jit
+def solve_avi_batch(M, q, l, u, z0, var_mask, tol=1e-10, max_iter=4000):
+    """Batched box-AVI solve.  M (B,n,n), q/l/u/z0 (B,n), var_mask (B,n).
+
+    ``tol`` and ``max_iter`` are traced scalars — every budget/tolerance
+    combination shares ONE compiled kernel per shape."""
     fn = functools.partial(_newton_solve, tol=tol, max_iter=max_iter)
     return jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn(M_, q_, l_, u_, z_,
                                                       var_mask=vm))(
         M, q, l, u, z0, var_mask)
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "max_iter"))
-def solve_avi_batch_mixed(M, q, l, u, z0, var_mask, *, tol=1e-10,
+@jax.jit
+def solve_avi_batch_mixed(M, q, l, u, z0, var_mask, tol=1e-10,
                           max_iter=4000):
     """Mixed-precision batched solve: the bulk of the hybrid Newton/proximal
     iteration runs in f32 (native MXU path — f64 is software-emulated on TPU),
@@ -322,10 +325,55 @@ def solve_avi_batch_mixed(M, q, l, u, z0, var_mask, *, tol=1e-10,
         f32(M), f32(q), f32(l), f32(u), f32(z0), var_mask)
     z1 = res32.z.astype(M.dtype)
     fn64 = functools.partial(_newton_solve, tol=tol,
-                             max_iter=max(520, max_iter // 8))
+                             max_iter=jnp.maximum(520, max_iter // 8))
     res = jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn64(
         M_, q_, l_, u_, z_, var_mask=vm))(M, q, l, u, z1, var_mask)
     return res
+
+
+def solve_avi_batch_adaptive(M, q, l, u, z0, var_mask, *, tol=1e-10,
+                             budgets=(390, 1560, 6000), mixed=True):
+    """Straggler-decoupled batched solve.
+
+    A vmapped while_loop runs until the SLOWEST lane finishes, so one hard
+    LP-KKT instance stalls thousands of easy ones.  This wrapper runs the
+    batch in escalating iteration budgets: most lanes converge in the cheap
+    first pass; only the shrinking unconverged subset pays for the big
+    budgets.  Subsets are bucket-padded so the recompile count stays bounded.
+    """
+    M = np.asarray(M, dtype=np.float64)
+    B, n, _ = M.shape
+    solver = solve_avi_batch_mixed if mixed else solve_avi_batch
+    z_out = np.array(z0, dtype=np.float64, copy=True)
+    resid_out = np.full(B, np.inf)
+    iters_out = np.zeros(B, dtype=np.int64)
+    conv_out = np.zeros(B, dtype=bool)
+    idx = np.arange(B)
+    z_cur = np.asarray(z0, dtype=np.float64)
+    for bi, budget in enumerate(budgets):
+        if len(idx) == 0:
+            break
+        sub = (M[idx], np.asarray(q)[idx], np.asarray(l)[idx],
+               np.asarray(u)[idx], z_cur[idx] if bi == 0 else z_out[idx],
+               np.asarray(var_mask)[idx])
+        from ..config import bucket
+        Bp = bucket(len(idx), (1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+                               1024, 2048))
+        pad = Bp - len(idx)
+        padded = [np.concatenate([s, np.repeat(s[:1], pad, axis=0)], axis=0)
+                  if pad else s for s in sub]
+        res = solver(*padded, tol=tol, max_iter=budget)
+        z_i = np.asarray(res.z)[:len(idx)]
+        r_i = np.asarray(res.resid)[:len(idx)]
+        c_i = np.asarray(res.converged)[:len(idx)]
+        k_i = np.asarray(res.iters)[:len(idx)]
+        z_out[idx] = z_i
+        resid_out[idx] = r_i
+        conv_out[idx] = c_i
+        iters_out[idx] += k_i
+        idx = idx[~c_i]
+    return AVIResult(z=z_out, resid=resid_out, iters=iters_out,
+                     converged=conv_out)
 
 
 def solve_avi_batch_padded(M, q, l, u, z0, var_mask, **kw):
