@@ -156,6 +156,119 @@ def verify_solution(qp, pid, constraints: Sequence[Poly], dec_inds, x,
 
 
 # --------------------------------------------------------------------------
+#  batched verification — (nodes × piece-combos) in one kernel
+# --------------------------------------------------------------------------
+
+def verify_solutions_batch(tasks, x, tol: float = 1e-4):
+    """Batched KKT verification over a list of (qp, constraints, dec_inds)
+    tasks at the shared point x — the fused form of §3.3's observation that
+    verify_solution is a pure function of (qp, constraints, x), batched over
+    the (nodes × child-piece-combos) axis (SURVEY §2.3 row 1–2).
+
+    The common path (feasibility + masked least-squares dual recovery + sign
+    checks) runs as ONE ridge-solve kernel over padded stacks; only items the
+    LSQ path cannot certify fall back to the per-item dual-LCP solve."""
+    from .ops.linalg import chol_solve
+    import jax.numpy as jnp
+
+    B = len(tasks)
+    if B == 0:
+        return []
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+
+    prepared = []
+    m_max, d_max = 1, 1
+    for (qp, constraints, dec_inds) in tasks:
+        dec_inds = list(dec_inds)
+        if constraints:
+            A = np.vstack([c.A for c in constraints])
+            l = np.concatenate([c.l for c in constraints])
+            u = np.concatenate([c.u for c in constraints])
+        else:
+            A = np.zeros((0, n))
+            l = np.zeros(0)
+            u = np.zeros(0)
+        q_t = qp.f.Q[dec_inds, :] @ x + qp.f.q[dec_inds]
+        feasible = all(c.contains(x, tol=1e-3) for c in constraints)
+        prepared.append((A, l, u, q_t, dec_inds, feasible))
+        m_max = max(m_max, A.shape[0])
+        d_max = max(d_max, len(dec_inds))
+
+    from .config import row_bucket, bucket
+    m_p = row_bucket(m_max)
+    d_p = bucket(d_max, (2, 4, 8, 16, 32, 64, 128))
+    Ad = np.zeros((B, m_p, d_p))       # signed active-row matrix (rows=duals)
+    qt = np.zeros((B, d_p))
+    act_mask = np.zeros((B, m_p), dtype=bool)
+    results = [None] * B
+    sign_class = np.zeros((B, m_p), dtype=np.int8)  # 1=pos,-1=neg,2=both
+
+    for i, (A, l, u, q_t, dec_inds, feasible) in enumerate(prepared):
+        m = A.shape[0]
+        if not feasible:
+            results[i] = SimpleNamespace(
+                solution=False, lam=None,
+                e=f"Current point is infeasible when using tolerance {tol}.")
+            continue
+        if m == 0:
+            ok = np.allclose(q_t, 0.0, atol=tol)
+            results[i] = SimpleNamespace(
+                solution=bool(ok), lam=np.zeros(0) if ok else None,
+                e=None if ok else "Current point is suboptimal")
+            continue
+        ax = A @ x
+        pos = ax < l + 1e-2
+        neg = ax > u - 1e-2
+        both = pos & neg
+        pos = pos & ~both
+        neg = neg & ~both
+        Adec = A[:, dec_inds]
+        signed = np.where(pos[:, None], Adec,
+                          np.where(neg[:, None], -Adec,
+                                   np.where(both[:, None], Adec, 0.0)))
+        Ad[i, :m, :len(dec_inds)] = signed
+        qt[i, :len(dec_inds)] = q_t
+        act_mask[i, :m] = pos | neg | both
+        sign_class[i, :m] = np.where(both, 2,
+                            np.where(pos, 1, np.where(neg, -1, 0)))
+
+    # masked least squares: lam = argmin ||Ad' lam - qt|| with inactive rows
+    # pinned to 0 via a large diagonal penalty
+    G = jnp.einsum("bmd,bkd->bmk", jnp.asarray(Ad), jnp.asarray(Ad))
+    pin = jnp.where(jnp.asarray(act_mask), 0.0, 1e12)
+    G = G + (1e-12 + pin)[:, :, None] * jnp.eye(m_p)[None]
+    rhs = jnp.einsum("bmd,bd->bm", jnp.asarray(Ad), jnp.asarray(qt))
+    lam_all = np.asarray(chol_solve(G, rhs))
+    resid_all = np.asarray(
+        jnp.einsum("bmd,bm->bd", jnp.asarray(Ad), jnp.asarray(lam_all))
+        - jnp.asarray(qt))
+
+    for i, (A, l, u, q_t, dec_inds, feasible) in enumerate(prepared):
+        if results[i] is not None:
+            continue
+        m = A.shape[0]
+        lam = lam_all[i, :m]
+        sc = sign_class[i, :m]
+        ok_signs = np.all(lam[(sc == 1) | (sc == -1)] > -tol)
+        ok_resid = np.abs(resid_all[i, :len(dec_inds)]).max(initial=0.0) <= tol
+        if ok_signs and ok_resid:
+            lam_out = np.zeros(m)
+            lam_out[sc == 1] = lam[sc == 1]
+            lam_out[sc == -1] = -lam[sc == -1]
+            lam_out[sc == 2] = lam[sc == 2]
+            results[i] = SimpleNamespace(solution=True, lam=lam_out, e=None)
+
+    # fallback: per-item dual LCP for unresolved tasks
+    for i, (qp, constraints, dec_inds) in enumerate(tasks):
+        if results[i] is None:
+            results[i] = verify_solution(qp, -1, constraints, dec_inds, x,
+                                         check_convexity=False, tol=tol)
+    METRICS.bump("verify_batched", B)
+    return results
+
+
+# --------------------------------------------------------------------------
 #  process_qp — qp_processing.jl:151-241
 # --------------------------------------------------------------------------
 
@@ -176,17 +289,29 @@ def process_qp(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion],
             raise RuntimeError("Solution graphs were not properly populated.")
         combos = list(itertools.product(*cardinalities))
         logger.debug("node %d: %d subpiece combinations", pid, len(combos))
-        results = []
+        if check_convexity:
+            base_A = (np.vstack([c.A for c in base_constraints])
+                      if base_constraints else np.zeros((0, len(x))))
+            base_l = (np.concatenate([c.l for c in base_constraints])
+                      if base_constraints else np.zeros(0))
+            base_u = (np.concatenate([c.u for c in base_constraints])
+                      if base_constraints else np.zeros(0))
+            check_qp_convexity(qp.f.Q, base_A, base_l, base_u, dec_inds, pid)
+        # verify ALL child-piece combinations as one batched kernel call
+        combo_constraints = []
         for combo in combos:
             children_polys = [S[j][ji] for j, ji in zip(child_inds, combo)]
-            appended = base_constraints + children_polys
-            ret = verify_solution(qp, pid, appended, dec_inds, x,
-                                  check_convexity)
+            combo_constraints.append(base_constraints + children_polys)
+        verifies = verify_solutions_batch(
+            [(qp, cons, dec_inds) for cons in combo_constraints], x)
+        results = []
+        for combo, appended, ret in zip(combos, combo_constraints, verifies):
             if not ret.solution:
                 assignments = {j: ji for j, ji in zip(child_inds, combo)}
                 return SimpleNamespace(solution=False, e=ret.e, failed=False,
                                        subpiece_assignments=assignments, S=None)
             if gen_solution_graphs:
+                children_polys = appended[len(base_constraints):]
                 gen = process_solution_graph(
                     qp, appended, dec_inds, x, ret.lam,
                     exploration_vertices=exploration_vertices, rng=rng)
