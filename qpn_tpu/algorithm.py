@@ -535,13 +535,92 @@ def combine_gavis(n: int, dec_inds, param_inds, labeled_gavis) -> GAVI:
     return GAVI(M, N, o, l1, u1, A, B, l2, u2)
 
 
+def _try_potential_qp(qpn: QPNet, player_pool, x, S, dec_inds, param_inds):
+    """Potential-game fast path.
+
+    When (a) decision sets at the level are disjoint, (b) the stacked
+    stationarity Jacobian over the level decisions is symmetric, and (c) each
+    player's constraints touch only its own decisions (other players enter as
+    parameters), the Nash equilibrium is the optimum of one potential QP —
+    solvable by the batched ADMM kernel in a few hundred cheap iterations
+    instead of a full complementarity solve.  The result is audited against
+    each player's KKT (verify_solutions_batch); any failure falls back to the
+    GAVI path, so semantics are identical to the reference.
+    """
+    nd = len(dec_inds)
+    col = {d: i for i, d in enumerate(dec_inds)}
+    owner = {}
+    for pid in player_pool:
+        for d in qpn.decision_inds(pid):
+            if d in owner:
+                return None          # overlapping decisions: not separable
+            owner[d] = pid
+    J = np.zeros((nd, nd))
+    c = np.zeros(nd)
+    for pid in player_pool:
+        dvars = qpn.decision_inds(pid)
+        rows = [col[d] for d in dvars]
+        Q = qpn.qps[pid].f.Q
+        J[np.ix_(rows, [col[d] for d in dec_inds])] = Q[np.ix_(dvars, dec_inds)]
+        c[rows] = (Q[np.ix_(dvars, param_inds)] @ x[param_inds]
+                   + qpn.qps[pid].f.q[dvars])
+    if not np.allclose(J, J.T, atol=1e-10):
+        return None
+    # constraints: stack per player; support must stay within own decisions
+    A_rows, l_rows, u_rows = [], [], []
+    for pid in sorted(player_pool):
+        own = set(qpn.decision_inds(pid))
+        polys = [qpn.constraints[ci].poly
+                 for ci in qpn.qps[pid].constraint_indices]
+        polys += [S[j] for j in sorted(qpn.network_edges[pid])]
+        for p in polys:
+            touched = set(np.nonzero(np.abs(p.A[:, dec_inds]).sum(0))[0])
+            if not {dec_inds[t] for t in touched} <= own:
+                return None
+            A_rows.append(p.A)
+            l_rows.append(p.l)
+            u_rows.append(p.u)
+    if A_rows:
+        A = np.vstack(A_rows)
+        l = np.concatenate(l_rows)
+        u = np.concatenate(u_rows)
+    else:
+        A = np.zeros((0, len(x)))
+        l = np.zeros(0)
+        u = np.zeros(0)
+    shift = A[:, param_inds] @ x[param_inds]
+    sol = batch_qp.solve_qp_np(J, c, A[:, dec_inds], l - shift, u - shift)
+    if sol.status not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
+        return None
+    x_opt = x.copy()
+    x_opt[dec_inds] = np.asarray(sol.x)
+    # audit: every player's KKT must hold at the joint point
+    tasks = []
+    for pid in sorted(player_pool):
+        cons = [qpn.constraints[ci].poly
+                for ci in qpn.qps[pid].constraint_indices]
+        cons += [S[j] for j in sorted(qpn.network_edges[pid])]
+        tasks.append((qpn.qps[pid], cons, qpn.decision_inds(pid)))
+    checks = verify_solutions_batch(tasks, x_opt)
+    if not all(r.solution for r in checks):
+        return None
+    METRICS.bump("qep_potential_fastpath")
+    return x_opt
+
+
 def solve_qep(qpn: QPNet, player_pool, x, S: Dict[int, Poly]):
-    """Level Nash solve (avi.jl:382-444)."""
+    """Level Nash solve (avi.jl:382-444), with a potential-game QP fast path
+    audited per-player before acceptance."""
     x = np.asarray(x, dtype=np.float64)
     x_dim = len(x)
     dec_inds = sorted(set().union(*[set(qpn.decision_inds(i))
                                     for i in player_pool]))
     param_inds = [i for i in range(x_dim) if i not in set(dec_inds)]
+
+    fast = _try_potential_qp(qpn, player_pool, x, S, dec_inds, param_inds)
+    METRICS.bump("qep_solves")
+    if fast is not None:
+        return fast
 
     labeled = {pid: create_labeled_gavi_from_qp(qpn, pid, S)
                for pid in player_pool}
@@ -552,7 +631,6 @@ def solve_qep(qpn: QPNet, player_pool, x, S: Dict[int, Poly]):
                          np.zeros(gavi.M.shape[1] - len(dec_inds))])
     with METRICS.timer("solve_gavi"):
         z, status = solve_gavi(gavi, z0, w)
-    METRICS.bump("qep_solves")
     if status != Status.SUCCESS:
         raise RuntimeError(
             f"AVI solve error. This might be because one of the qps "

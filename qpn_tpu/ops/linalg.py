@@ -24,10 +24,14 @@ def chol_solve(K, b):
 def qr_solve(A, b):
     """Solve square (or overdetermined least-squares) ``A x = b`` via QR.
 
+    ``b`` may be a vector (…, n) or a matrix of right-hand sides (…, n, k).
     For a square nonsingular A this matches an LU solve; for rank-deficient A
     callers should prefer :func:`ridge_solve`.
     """
     Q, R = jnp.linalg.qr(A)
+    if b.ndim == A.ndim:          # matrix RHS
+        rhs = jnp.einsum("...ji,...jk->...ik", Q, b)
+        return jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
     rhs = jnp.einsum("...ij,...i->...j", Q, b)
     return jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
 

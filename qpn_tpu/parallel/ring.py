@@ -1,0 +1,67 @@
+"""Ring-rotated frontier processing — the ring-attention analogue for piece
+batches (SURVEY.md §5: "frontier sharding with ppermute rotation").
+
+Each device holds a shard of the enumeration frontier (candidate pieces) and
+a shard of the reference set (already-accepted pieces).  To test every
+candidate against EVERY reference piece without all_gathering the whole set,
+the reference shard rotates around the ring with `ppermute`; after
+`num_devices` rotations every (candidate, reference) pair has met on some
+device.  Communication is overlapped chunk-wise exactly like ring attention,
+and memory stays O(shard) instead of O(total)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def ring_duplicate_mask(mesh: Mesh, sig, ref_sig):
+    """For each candidate signature, is an equal signature present in the
+    (distributed) reference set?  sig (B, k) int32 sharded over the mesh;
+    ref_sig (R, k) likewise.  Returns bool (B,): True = duplicate."""
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod(list(mesh.shape.values())))
+
+    def local(sig_s, ref_s):
+        def step(carry, _):
+            ref_cur, hit = carry
+            eq = jnp.all(sig_s[:, None, :] == ref_cur[None, :, :], axis=-1)
+            hit = hit | jnp.any(eq, axis=1)
+            # rotate the reference shard one step around the ring
+            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            ref_next = jax.lax.ppermute(ref_cur, axes[0], perm=perm) \
+                if len(axes) == 1 else _ppermute2(ref_cur, axes, mesh)
+            return (ref_next, hit), None
+
+        hit0 = jax.lax.pvary(jnp.zeros(sig_s.shape[0], dtype=bool), axes)
+        (ref_fin, hit), _ = jax.lax.scan(step, (ref_s, hit0), None,
+                                         length=n_dev)
+        return hit
+
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    spec = P(tuple(mesh.axis_names))
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                               out_specs=spec))
+    return fn(jax.device_put(jnp.asarray(sig), sh),
+              jax.device_put(jnp.asarray(ref_sig), sh))
+
+
+def _ppermute2(x, axes, mesh):
+    """Rotation across a flattened 2-D mesh: advance along the minor axis,
+    carrying into the major axis (a single logical ring over all devices)."""
+    minor, major = axes[1], axes[0]
+    n_minor = mesh.shape[minor]
+    n_major = mesh.shape[major]
+    # one step on the minor ring
+    perm_minor = [(i, (i + 1) % n_minor) for i in range(n_minor)]
+    x_rot = jax.lax.ppermute(x, minor, perm=perm_minor)
+    # devices at minor position 0 must receive from the previous major row's
+    # last minor position: correct the wrapped entries with a major-axis hop
+    idx_minor = jax.lax.axis_index(minor)
+    perm_major = [(i, (i + 1) % n_major) for i in range(n_major)]
+    x_carry = jax.lax.ppermute(x_rot, major, perm=perm_major)
+    return jnp.where(idx_minor == 0, x_carry, x_rot)

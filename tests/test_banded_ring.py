@@ -1,0 +1,48 @@
+"""Sequence-parallel (cyclic reduction) and ring-frontier tests."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from qpn_tpu.ops import banded
+
+
+def test_cyclic_reduction_matches_dense():
+    for T, k in [(4, 3), (8, 2), (13, 4), (32, 3)]:
+        A, B, C, b = banded.horizon_kkt_blocks(T, k,
+                                               np.random.default_rng(T))
+        x = np.asarray(banded.solve_block_tridiag(
+            np.asarray(A), np.asarray(B), np.asarray(C), np.asarray(b)))
+        M = banded.dense_from_blocks(A, B, C)
+        x_ref = np.linalg.solve(M, b.reshape(-1)).reshape(T, k)
+        assert np.allclose(x, x_ref, atol=1e-8), (T, k)
+
+
+def test_cyclic_reduction_batched():
+    rng = np.random.default_rng(0)
+    batch = [banded.horizon_kkt_blocks(8, 3, rng) for _ in range(5)]
+    A = np.stack([b[0] for b in batch])
+    B = np.stack([b[1] for b in batch])
+    C = np.stack([b[2] for b in batch])
+    bb = np.stack([b[3] for b in batch])
+    X = np.asarray(banded.solve_block_tridiag_batch(A, B, C, bb))
+    for i in range(5):
+        M = banded.dense_from_blocks(A[i], B[i], C[i])
+        x_ref = np.linalg.solve(M, bb[i].reshape(-1)).reshape(8, 3)
+        assert np.allclose(X[i], x_ref, atol=1e-8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_ring_duplicate_mask():
+    from qpn_tpu.parallel.mesh import make_mesh
+    from qpn_tpu.parallel.ring import ring_duplicate_mask
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 5, size=(16, 3)).astype(np.int32)
+    # candidates: half are copies of reference rows, half fresh
+    cand = np.concatenate([ref[::2], 99 + np.arange(24).reshape(8, 3)
+                           .astype(np.int32)])
+    hit = np.asarray(ring_duplicate_mask(mesh, cand, ref))
+    assert hit[:8].all()          # copies found somewhere in the ring
+    assert not hit[8:].any()      # fresh signatures unmatched
