@@ -73,6 +73,10 @@ def setup(T: int = 3, num_obj: int = 1, num_poly_faces: int = 4,
             py = py + uo[1, tau, k]
         return [px, py]
 
+    # one adversary per (timestep, obstacle), each parenting exactly one
+    # certificate node — keeps every parent's child-combo product narrow
+    # (the reference's combine guard, qp_processing.jl:281-285, aborts wide
+    # products; robust_avoid_simple.jl:57-66 uses the same 1:1 structure)
     s_players, a_players = {}, {}
     for k in range(num_obj):
         for t in range(T):
@@ -86,14 +90,12 @@ def setup(T: int = 3, num_obj: int = 1, num_poly_faces: int = 4,
                                    np.full(len(cons), np.inf))
             s_players[(t, k)] = b.add_qp(eps[t, k] * 1.0, [cid],
                                          s[:, t, k], eps[t, k])
-        adv_cons = [uo[j, t, k] for t in range(T) for j in range(2)]
-        cid = b.add_constraint(adv_cons,
-                               np.full(2 * T, -max_obj_delta),
-                               np.full(2 * T, max_obj_delta))
-        adv_cost = _lift(0.0)
-        for t in range(T):
-            adv_cost = adv_cost + eps[t, k]
-        a_players[k] = b.add_qp(adv_cost, [cid], uo[:, :, k])
+            adv_cons = [uo[j, t, k] for j in range(2)]
+            cid2 = b.add_constraint(adv_cons,
+                                    np.full(2, -max_obj_delta),
+                                    np.full(2, max_obj_delta))
+            a_players[(t, k)] = b.add_qp(eps[t, k] * 1.0, [cid2],
+                                         uo[:, t, k])
 
     ego_cons = ([ue[j, t] for t in range(T) for j in range(2)]
                 + [eps[t, k] for k in range(num_obj) for t in range(T)])
@@ -110,8 +112,9 @@ def setup(T: int = 3, num_obj: int = 1, num_poly_faces: int = 4,
     ego_player = b.add_qp(ego_cost, [ego_cid],
                           *[ue[:, t] for t in range(T)])
 
-    edges = ([(ego_player, a_players[k]) for k in range(num_obj)]
-             + [(a_players[k], s_players[(t, k)])
+    edges = ([(ego_player, a_players[(t, k)])
+              for k in range(num_obj) for t in range(T)]
+             + [(a_players[(t, k)], s_players[(t, k)])
                 for k in range(num_obj) for t in range(T)])
     b.add_edges(edges)
     b.assign_constraint_groups()

@@ -60,6 +60,7 @@ def test_deep_synthetic_three_levels():
 def test_robust_avoid_model_builds():
     qpn = qt.setup("robust_avoid", T=2, num_obj=1)
     assert qpn.num_levels() == 3
+    assert len(qpn.qps) == 1 + 2 * 2   # ego + (adv+cert) per timestep
     # scenario batch tensors for the bench / parallel path
     from qpn_tpu.models.robust_avoid import scenario_batch_gavis
     batch = scenario_batch_gavis(num_scenarios=4, T=1, num_obj=1,
@@ -73,3 +74,10 @@ def test_flat_initialization():
     x0 = qpn.get_flat_initialization()
     assert x0.shape == (8,)
     assert np.isfinite(x0).all()
+
+
+@pytest.mark.slow
+def test_robust_avoid_t2_solves():
+    qpn = qt.setup("robust_avoid", T=2, num_obj=1, num_poly_faces=3)
+    ret = qt.solve(qpn)
+    assert ret.solved
