@@ -793,3 +793,21 @@ def solve(qpn: QPNet, x_init=None, parent_level_request=frozenset(),
         save_state(checkpoint_path, ret.x_opt, Sol=ret.Sol,
                    iterate_cache=qpn.iterate_cache, meta={"solved": True})
     return ret
+
+
+def solve_many(qpns, x_inits=None, seed: int = 1):
+    """Solve a scenario ensemble of QPNets.
+
+    The host loops are per-scenario, but every numeric kernel they dispatch
+    (batched verify, batched LP/AVI, bucketed shapes) is shared through the
+    jit cache, so the marginal cost of additional scenarios is dominated by
+    device time, not compilation.  Returns a list of per-scenario results.
+    (Device-lockstep scenario batching across the *outer* loop is the
+    multi-chip path — see parallel/sharded.equilibrium_superstep.)"""
+    qpns = list(qpns)
+    if x_inits is None:
+        x_inits = [None] * len(qpns)
+    out = []
+    for qpn, x0 in zip(qpns, x_inits):
+        out.append(solve(qpn, x0, seed=seed))
+    return out

@@ -31,5 +31,7 @@ from . import robust_avoid_simple     # noqa: E402,F401
 from . import four_player_matrix_game # noqa: E402,F401
 from . import robust_avoid            # noqa: E402,F401
 from . import deep_synthetic          # noqa: E402,F401
+from . import rock_paper_scissors     # noqa: E402,F401
+from . import toll_setting            # noqa: E402,F401
 
 __all__ = ["setup", "register"]

@@ -81,3 +81,37 @@ def test_robust_avoid_t2_solves():
     qpn = qt.setup("robust_avoid", T=2, num_obj=1, num_poly_faces=3)
     ret = qt.solve(qpn)
     assert ret.solved
+
+
+def test_rock_paper_scissors_nash():
+    qpn = qt.setup("rock_paper_scissors", bilevel=False)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    # symmetric regularized zero-sum: uniform mixed strategies
+    assert np.allclose(ret.x_opt, 1.0 / 3.0, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_rock_paper_scissors_bilevel():
+    qpn = qt.setup("rock_paper_scissors", bilevel=True)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    # strategies stay on the simplex
+    assert abs(ret.x_opt[:3].sum() - 1.0) < 1e-5
+    assert abs(ret.x_opt[3:].sum() - 1.0) < 1e-5
+
+
+def test_toll_setting_bilevel():
+    qpn = qt.setup("toll_setting")
+    ret = qt.solve(qpn)
+    assert ret.solved
+    tolls, flows = ret.x_opt[:3], ret.x_opt[3:]
+    assert np.all(tolls >= -1e-6) and np.all(tolls <= 2.0 + 1e-6)
+    assert abs(flows.sum() - 1.0) < 1e-5
+    assert np.all(flows >= -1e-6)
+
+
+def test_solve_many():
+    from qpn_tpu.algorithm import solve_many
+    rets = solve_many([qt.setup("toll_setting", seed=s) for s in range(2)])
+    assert all(r.solved for r in rets)
