@@ -29,9 +29,11 @@ def main():
     from qpn_tpu.ops.avi import (solve_avi_batch,  # noqa: F401
                                  solve_avi_batch_adaptive)
     import functools
-    # straggler-decoupled, mixed-precision path (f32 bulk + f64 polish on TPU)
-    solve_avi_batch = functools.partial(solve_avi_batch_adaptive,
-                                        mixed=(backend == "tpu"))
+    # straggler-decoupled path; on TPU: fused on-chip f32 extragradient
+    # pre-pass + mixed-precision Newton stages
+    solve_avi_batch = functools.partial(
+        solve_avi_batch_adaptive, mixed=(backend == "tpu"),
+        onchip_eg_steps=20000 if backend == "tpu" else 0)
 
     S = 256
     batch = scenario_batch_gavis(num_scenarios=S, T=2, num_obj=1,

@@ -33,5 +33,7 @@ from . import robust_avoid            # noqa: E402,F401
 from . import deep_synthetic          # noqa: E402,F401
 from . import rock_paper_scissors     # noqa: E402,F401
 from . import toll_setting            # noqa: E402,F401
+from . import chainstore              # noqa: E402,F401
+from . import trilevel_escape         # noqa: E402,F401
 
 __all__ = ["setup", "register"]

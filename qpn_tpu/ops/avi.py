@@ -332,7 +332,8 @@ def solve_avi_batch_mixed(M, q, l, u, z0, var_mask, tol=1e-10,
 
 
 def solve_avi_batch_adaptive(M, q, l, u, z0, var_mask, *, tol=1e-10,
-                             budgets=(390, 1560, 6000), mixed=True):
+                             budgets=(390, 1560, 6000), mixed=True,
+                             onchip_eg_steps: int = 0):
     """Straggler-decoupled batched solve.
 
     A vmapped while_loop runs until the SLOWEST lane finishes, so one hard
@@ -350,6 +351,13 @@ def solve_avi_batch_adaptive(M, q, l, u, z0, var_mask, *, tol=1e-10,
     conv_out = np.zeros(B, dtype=bool)
     idx = np.arange(B)
     z_cur = np.asarray(z0, dtype=np.float64)
+    if onchip_eg_steps > 0:
+        # fused on-chip f32 extragradient pre-pass: tens of thousands of
+        # VMEM-resident steps per batch element for ~free, so the host-level
+        # Newton stages start near the solution
+        from .pallas_kernels import eg_warmstart
+        z_cur = eg_warmstart(M, q, l, u, z_cur, var_mask,
+                             steps=onchip_eg_steps)
     for bi, budget in enumerate(budgets):
         if len(idx) == 0:
             break
@@ -372,6 +380,17 @@ def solve_avi_batch_adaptive(M, q, l, u, z0, var_mask, *, tol=1e-10,
         conv_out[idx] = c_i
         iters_out[idx] += k_i
         idx = idx[~c_i]
+        # cross-lane warm start: scenario ensembles are perturbations of each
+        # other, so seed each straggler from the nearest (by q-distance)
+        # converged lane's solution before the next budget stage
+        if len(idx) and conv_out.any():
+            conv_idx = np.nonzero(conv_out)[0]
+            qs = np.asarray(q)
+            for i in idx:
+                j = conv_idx[np.argmin(
+                    np.linalg.norm(qs[conv_idx] - qs[i], axis=1))]
+                if resid_out[i] > 1e-4:
+                    z_out[i] = z_out[j]
     return AVIResult(z=z_out, resid=resid_out, iters=iters_out,
                      converged=conv_out)
 

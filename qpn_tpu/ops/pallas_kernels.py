@@ -62,7 +62,7 @@ def _eg_kernel(M_ref, q_ref, l_ref, u_ref, z_ref, tau_ref, out_ref, *, steps):
         F_half = jnp.dot(z_half, M.T, preferred_element_type=jnp.float32) + q
         return jnp.clip(z - tau * F_half, l, u)
 
-    out_ref[0] = jax.lax.fori_loop(0, steps, body, z)
+    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(steps), body, z)
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))
@@ -73,26 +73,58 @@ def _eg_call(M, q, l, u, z0, tau, *, steps):
         kern,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, n, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, 1, 1), lambda b: (b, jnp.int32(0), jnp.int32(0))),
         ],
-        out_specs=pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
         out_shape=jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
         interpret=_interpret(),
     )(M, q, l, u, z0, tau)
 
 
-def eg_warmstart(M, q, l, u, z0, var_mask, steps: int = 200):
+def _ruiz_np(M, iters=8):
+    """Host-side complementarity-preserving Ruiz scaling (see ops/avi.py)."""
+    B, n, _ = M.shape
+    d = np.ones((B, n))
+    e = np.ones((B, n))
+    for _ in range(iters):
+        Ms = np.abs(d[:, :, None] * M * e[:, None, :])
+        r = np.clip(Ms.max(axis=2), 1e-8, 1e8)
+        c = np.clip(Ms.max(axis=1), 1e-8, 1e8)
+        d /= np.sqrt(r)
+        e /= np.sqrt(c)
+    return d, e
+
+
+def eg_warmstart(M, q, l, u, z0, var_mask, steps: int = 200,
+                 ruiz: bool = True):
     """Run `steps` fused f32 extragradient iterations on each box AVI in the
-    batch; returns improved starting points (f64, original width)."""
+    batch; returns improved starting points (f64, original width).
+
+    All `steps` iterations run inside ONE Pallas program per batch element
+    (VMEM-resident M, 2 MXU matvecs/step) — per-step cost is orders of
+    magnitude below a host-level while_loop iteration, so tens of thousands
+    of steps are practical.  Ruiz pre-scaling keeps the step size healthy."""
     M = np.asarray(M, dtype=np.float64)
     B, n, _ = M.shape
-    np_ = _pad_lane(n)
     mask = np.asarray(var_mask, dtype=bool)
+    q = np.asarray(q, dtype=np.float64)
+    l = np.asarray(l, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    z0 = np.asarray(z0, dtype=np.float64)
+    if ruiz:
+        d_sc, e_sc = _ruiz_np(np.where(mask[:, :, None] & mask[:, None, :],
+                                       M, np.eye(n)[None]))
+        M = d_sc[:, :, None] * M * e_sc[:, None, :]
+        q = d_sc * q
+        l = np.where(np.isfinite(l), l / e_sc, l)
+        u = np.where(np.isfinite(u), u / e_sc, u)
+        z0 = z0 / e_sc
+    np_ = _pad_lane(n)
 
     Mp = np.zeros((B, np_, np_), dtype=np.float32)
     mm = mask[:, :, None] & mask[:, None, :]
@@ -130,6 +162,8 @@ def eg_warmstart(M, q, l, u, z0, var_mask, steps: int = 200):
 
     out = _eg_call(Mp, qb, lb, ub, z0p, tau, steps=steps)
     z = np.asarray(out)[:, 0, :n].astype(np.float64)
+    if ruiz:
+        z = z * e_sc
     return np.where(mask, z, 0.0)
 
 
@@ -153,7 +187,7 @@ def _screen_kernel(A_ref, l_ref, u_ref, x_ref, out_x_ref, out_v_ref, *,
         g = jnp.dot(v, A, preferred_element_type=jnp.float32)
         return x + lr * g
 
-    x = jax.lax.fori_loop(0, steps, body, x)
+    x = jax.lax.fori_loop(jnp.int32(0), jnp.int32(steps), body, x)
     v = viol(x)
     out_x_ref[0] = x
     out_v_ref[0] = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
@@ -167,13 +201,13 @@ def _screen_call(A, l, u, x0, *, steps, lr):
         kern,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, m, n), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, m), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, m), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, m, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, 1, m), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, 1, m), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
         ],
-        out_specs=(pl.BlockSpec((1, 1, n), lambda b: (b, 0, 0)),
-                   pl.BlockSpec((1, 1, 1), lambda b: (b, 0, 0))),
+        out_specs=(pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+                   pl.BlockSpec((1, 1, 1), lambda b: (b, jnp.int32(0), jnp.int32(0)))),
         out_shape=(jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
                    jax.ShapeDtypeStruct((B, 1, 1), jnp.float32)),
         interpret=_interpret(),

@@ -115,3 +115,23 @@ def test_solve_many():
     from qpn_tpu.algorithm import solve_many
     rets = solve_many([qt.setup("toll_setting", seed=s) for s in range(2)])
     assert all(r.solved for r in rets)
+
+
+@pytest.mark.slow
+def test_chainstore_paradox():
+    """Backward induction: the incumbent never fights (r=0), entrants enter."""
+    qpn = qt.setup("chainstore", num_towns=3)
+    assert qpn.num_levels() == 6
+    ret = qt.solve(qpn)
+    assert ret.solved
+    e, r = ret.x_opt[:3], ret.x_opt[3:]
+    assert np.all(r < 1e-4)          # fighting is never credible
+    assert np.all(e > 0.5)           # entrants enter
+
+
+def test_trilevel_escape():
+    qpn = qt.setup("trilevel_escape")
+    assert qpn.num_levels() == 3
+    ret = qt.solve(qpn)
+    assert ret.solved
+    assert np.all(np.abs(ret.x_opt) <= 3.0 + 1e-6)
