@@ -14,13 +14,16 @@ from .geometry.poly import Poly, PolyUnion, intersect, from_box  # noqa: E402
 from .options import QPNetOptions  # noqa: E402
 from .network import QP, Constraint, Quadratic, Linear, QPNet  # noqa: E402
 from .frontend import variables, variable  # noqa: E402
-from .algorithm import solve  # noqa: E402
+from .algorithm import solve, solve_many  # noqa: E402
 from .models import setup  # noqa: E402
+from .printing import install_reprs as _install_reprs  # noqa: E402
+
+_install_reprs()
 
 __all__ = [
     "Poly", "PolyUnion", "intersect", "from_box",
     "QPNetOptions", "QP", "Constraint", "Quadratic", "Linear", "QPNet",
-    "variables", "variable", "solve", "setup",
+    "variables", "variable", "solve", "solve_many", "setup",
 ]
 
 __version__ = "0.1.0"

@@ -79,15 +79,18 @@ def graph_is_redundant(edge_list, existing) -> bool:
     return False
 
 
-def compute_unique_edge_lists() -> List[List[Tuple[int, int]]]:
+def compute_unique_edge_lists(max_edges: int = None
+                              ) -> List[List[Tuple[int, int]]]:
     """Enumerate canonical DAG edge lists over 4 nodes up to the node-label
     symmetries (the computational path of jl:403-484; the reference
-    short-circuits to a precomputed table of 48)."""
+    short-circuits to a precomputed table of 48).  ``max_edges`` bounds the
+    powerset rank for cheap smoke runs."""
     all_edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (2, 1), (3, 1),
                  (3, 2), (3, 4), (4, 1), (4, 2), (4, 3)]
     unique: List[frozenset] = []
     out: List[List[Tuple[int, int]]] = []
-    for r in range(len(all_edges) + 1):
+    top = len(all_edges) if max_edges is None else max_edges
+    for r in range(top + 1):
         for combo in itertools.combinations(all_edges, r):
             try:
                 net = setup(edge_list=list(combo))
@@ -105,13 +108,13 @@ def compute_unique_edge_lists() -> List[List[Tuple[int, int]]]:
     return out
 
 
-def search_for_game(seed_range, solve_fn=None):
+def search_for_game(seed_range, solve_fn=None, max_edges=None):
     """Cross-validate equilibria across DAGs (jl:179-248): for each seed,
     solve every unique DAG and count how many equilibria are NOT equilibria
     of any other DAG."""
     from ..algorithm import solve as _solve
     solve_fn = solve_fn or _solve
-    edge_lists = compute_unique_edge_lists()
+    edge_lists = compute_unique_edge_lists(max_edges)
     best = (None, -1)
     for seed in seed_range:
         x_opts = []
@@ -139,12 +142,12 @@ def search_for_game(seed_range, solve_fn=None):
     return best
 
 
-def analyze_equilibria(seed_range, solve_fn=None):
+def analyze_equilibria(seed_range, solve_fn=None, max_edges=None):
     """Monte-Carlo running mean/variance of player costs per DAG
     (jl:270-385), relative to the Nash (empty-DAG) equilibrium."""
     from ..algorithm import solve as _solve
     solve_fn = solve_fn or _solve
-    edge_lists = compute_unique_edge_lists()
+    edge_lists = compute_unique_edge_lists(max_edges)
     E = len(edge_lists)
     num_success = 0
     avg = np.zeros((4, E))

@@ -157,6 +157,30 @@ def scenario_batch_gavis(num_scenarios: int = 64, T: int = 3,
     gavi = combine_gavis(net.num_vars, dec_inds, param_inds, labeled)
     avi = convert_gavi(gavi)
 
+    # ξ elimination: with disjoint per-player decisions every consensus row
+    # pins one ξ to 0 and ξ columns appear nowhere else (avi.jl:244 zeroes
+    # the ξ block), so dropping [top rows, ξ columns] yields the plain
+    # stacked-KKT AVI — skew-symmetric + PSD (monotone), smaller, and
+    # extragradient-friendly.
+    nd = len(dec_inds)
+    total_xi = sum(lg.M1.shape[0] for lg in labeled.values())
+    if total_xi == nd:
+        n_full = avi.M.shape[0]
+        keep = np.array([i for i in range(n_full)
+                         if not (nd <= i < nd + total_xi)])
+        # stationarity rows are stacked per player (each in its own dvars
+        # order); realign them to the global dec_inds order so row i pairs
+        # with variable i — this is what restores the skew/monotone KKT
+        # structure the extragradient pre-pass needs
+        stacked = [d for pid in sorted(players) for d in net.decision_inds(pid)]
+        rowperm = [nd + stacked.index(d) for d in dec_inds]
+        row_keep = np.array(rowperm + list(range(nd + total_xi, n_full)))
+        avi.M = avi.M[np.ix_(row_keep, keep)]
+        avi.N = avi.N[row_keep]
+        avi.o = avi.o[row_keep]
+        avi.l = avi.l[keep]
+        avi.u = avi.u[keep]
+
     S = num_scenarios
     n = avi.M.shape[0]
     Mt = np.repeat(avi.M[None], S, axis=0)

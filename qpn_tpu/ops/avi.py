@@ -136,6 +136,19 @@ def _natural_residual(M, q, l, u, z):
     return z - proj, F, s
 
 
+def natural_residual_np(M, q, l, u, z, var_mask=None):
+    """Batched ‖Φ‖∞ on host numpy (B, n) → (B,)."""
+    M = np.asarray(M)
+    z = np.asarray(z)
+    F = np.einsum("bij,bj->bi", M, z) + np.asarray(q)
+    with np.errstate(invalid="ignore"):
+        proj = np.clip(z - F, np.asarray(l), np.asarray(u))
+    Phi = z - proj
+    if var_mask is not None:
+        Phi = np.where(np.asarray(var_mask), Phi, 0.0)
+    return np.abs(Phi).max(axis=1)
+
+
 def _newton_solve(M, q, l, u, z0, *, tol, max_iter, var_mask):
     """Single-instance hybrid semismooth-Newton / extragradient solver.
 
@@ -353,11 +366,17 @@ def solve_avi_batch_adaptive(M, q, l, u, z0, var_mask, *, tol=1e-10,
     z_cur = np.asarray(z0, dtype=np.float64)
     if onchip_eg_steps > 0:
         # fused on-chip f32 extragradient pre-pass: tens of thousands of
-        # VMEM-resident steps per batch element for ~free, so the host-level
-        # Newton stages start near the solution
+        # VMEM-resident steps per batch element for ~free.  EG only converges
+        # for monotone M (QEP assemblies with ξ-consensus rows are NOT), so
+        # the result is accepted per-lane only when it reduces the natural
+        # residual; divergent lanes keep their original start.
         from .pallas_kernels import eg_warmstart
-        z_cur = eg_warmstart(M, q, l, u, z_cur, var_mask,
-                             steps=onchip_eg_steps)
+        z_eg = eg_warmstart(M, q, l, u, z_cur, var_mask,
+                            steps=onchip_eg_steps)
+        r_eg = natural_residual_np(M, q, l, u, z_eg, var_mask)
+        r_0 = natural_residual_np(M, q, l, u, z_cur, var_mask)
+        better = np.isfinite(r_eg) & (r_eg < r_0)
+        z_cur = np.where(better[:, None], z_eg, z_cur)
     for bi, budget in enumerate(budgets):
         if len(idx) == 0:
             break

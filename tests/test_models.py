@@ -135,3 +135,14 @@ def test_trilevel_escape():
     ret = qt.solve(qpn)
     assert ret.solved
     assert np.all(np.abs(ret.x_opt) <= 3.0 + 1e-6)
+
+
+@pytest.mark.slow
+def test_search_for_game_smoke():
+    """The equilibrium cross-check harness on a restricted DAG family:
+    equilibria of one structure are typically not equilibria of another
+    (four_player_matrix_game.jl:179-248)."""
+    from qpn_tpu.models.four_player_matrix_game import search_for_game
+    seed, n_unique = search_for_game([2], max_edges=1)
+    assert seed == 2
+    assert n_unique >= 1
