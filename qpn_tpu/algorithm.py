@@ -31,12 +31,11 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from .enumeration import LocalGAVISolutions, process_solution_graph
-from .geometry import poly as gpoly
+from .enumeration import process_solution_graph
 from .geometry import setops
 from .geometry.project import project as project_poly
 from .geometry.poly import Poly, PolyUnion, intersect
-from .network import Linear, QPNet
+from .network import QPNet
 from .ops import batch_qp
 from .ops.avi import GAVI, Status, solve_gavi
 from .utils.metrics import METRICS

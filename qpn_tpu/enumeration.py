@@ -24,16 +24,14 @@ TPU-first re-design decisions:
 
 from __future__ import annotations
 
-import itertools
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
-from .geometry import poly as gpoly
 from .geometry import setops, vertices
 from .geometry import project as _gproject_mod  # noqa: F401
 from .geometry.project import project as project_poly, permute_columns
-from .geometry.poly import Poly, PolyUnion
+from .geometry.poly import Poly
 from .network import Linear
 from .ops.avi import GAVI
 from .utils.metrics import METRICS

@@ -26,8 +26,6 @@ import numpy as np
 
 from collections import namedtuple
 
-from ..config import CONFIG
-
 _NORM_TOL = 1e-8
 _QUANT_DIGITS = 5  # reference rounds to 5 digits for dedup (sets.jl:105-112)
 

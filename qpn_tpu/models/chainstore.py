@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..frontend import QPNetBuilder, variables, _lift
+from ..frontend import QPNetBuilder, variables
 from . import register
 
 

@@ -18,8 +18,6 @@ from-scratch TPU-scale restatement:
 
 from __future__ import annotations
 
-from typing import Dict, List
-
 import numpy as np
 
 from ..frontend import QPNetBuilder, variables, _lift

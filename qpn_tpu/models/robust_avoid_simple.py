@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..frontend import QPNetBuilder, variables, dot, Expr, _lift
+from ..frontend import QPNetBuilder, variables, _lift
 from . import register
 
 

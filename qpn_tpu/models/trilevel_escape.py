@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..frontend import QPNetBuilder, variables, _lift, dot
+from ..frontend import QPNetBuilder, variables, dot
 from . import register
 
 

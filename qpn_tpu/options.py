@@ -6,8 +6,6 @@ from __future__ import annotations
 import dataclasses
 import enum
 import warnings
-from typing import FrozenSet, Optional
-
 
 class SharedVariableMode(enum.Enum):  # programs.jl:56-59
     MIN_NORM = 1

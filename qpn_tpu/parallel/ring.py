@@ -11,8 +11,6 @@ and memory stays O(shard) instead of O(total)."""
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

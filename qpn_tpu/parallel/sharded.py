@@ -22,10 +22,10 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.avi import _newton_solve, AVIResult
-from .mesh import scenario_sharding, replicated
+from ..ops.avi import _newton_solve
+from .mesh import scenario_sharding
 
 
 def _avi_vmap(M, q, l, u, z0, mask, tol, max_iter):

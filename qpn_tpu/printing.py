@@ -8,8 +8,6 @@ printer has a latent typo bug at printing.jl:24 — ``spsce`` — not replicated
 from __future__ import annotations
 
 import io
-from typing import Optional
-
 import numpy as np
 
 from .geometry.poly import Poly, PolyUnion

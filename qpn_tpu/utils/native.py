@@ -11,7 +11,7 @@ import hashlib
 import itertools
 import os
 import subprocess
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
