@@ -48,40 +48,54 @@ def _pad8(n: int) -> int:
 #  extragradient warm start
 # --------------------------------------------------------------------------
 
+_EG_TILE = 16   # lanes per grid program: VMEM budget T·n²·4B must stay ≤ ~4MB
+
+
 def _eg_kernel(M_ref, q_ref, l_ref, u_ref, z_ref, tau_ref, out_ref, *, steps):
-    M = M_ref[0]              # (n, n)
-    q = q_ref[0]              # (1, n)
-    l = l_ref[0]
-    u = u_ref[0]
-    tau = tau_ref[0]          # (1, 1)
-    z = z_ref[0]
+    """One grid program advances a TILE of lanes together: each step is a
+    batched matvec  F[t] = M[t] @ z[t]  on the MXU (grid programs run
+    sequentially on the tensorcore, so per-lane programs would serialize)."""
+    M = M_ref[...]            # (T, n, n)
+    q = q_ref[...]            # (T, n)
+    l = l_ref[...]
+    u = u_ref[...]
+    tau = tau_ref[...]        # (T, 1)
+    z = z_ref[...]            # (T, n)
+
+    def mv(Z):
+        return jax.lax.dot_general(
+            M, Z[:, :, None], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, :, 0]
 
     def body(i, z):
-        F = jnp.dot(z, M.T, preferred_element_type=jnp.float32) + q
+        F = mv(z) + q
         z_half = jnp.clip(z - tau * F, l, u)
-        F_half = jnp.dot(z_half, M.T, preferred_element_type=jnp.float32) + q
+        F_half = mv(z_half) + q
         return jnp.clip(z - tau * F_half, l, u)
 
-    out_ref[0] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(steps), body, z)
+    out_ref[...] = jax.lax.fori_loop(jnp.int32(0), jnp.int32(steps), body, z)
 
 
 @functools.partial(jax.jit, static_argnames=("steps",))
 def _eg_call(M, q, l, u, z0, tau, *, steps):
     B, n, _ = M.shape
+    T = _EG_TILE
+    assert B % T == 0
     kern = functools.partial(_eg_kernel, steps=steps)
     return pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // T,),
         in_specs=[
-            pl.BlockSpec((1, n, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-            pl.BlockSpec((1, 1, 1), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((T, n, n),
+                         lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((T, n), lambda b: (b, jnp.int32(0))),
+            pl.BlockSpec((T, n), lambda b: (b, jnp.int32(0))),
+            pl.BlockSpec((T, n), lambda b: (b, jnp.int32(0))),
+            pl.BlockSpec((T, n), lambda b: (b, jnp.int32(0))),
+            pl.BlockSpec((T, 1), lambda b: (b, jnp.int32(0))),
         ],
-        out_specs=pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-        out_shape=jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
+        out_specs=pl.BlockSpec((T, n), lambda b: (b, jnp.int32(0))),
+        out_shape=jax.ShapeDtypeStruct((B, n), jnp.float32),
         interpret=_interpret(),
     )(M, q, l, u, z0, tau)
 
@@ -125,43 +139,38 @@ def eg_warmstart(M, q, l, u, z0, var_mask, steps: int = 200,
         u = np.where(np.isfinite(u), u / e_sc, u)
         z0 = z0 / e_sc
     np_ = _pad_lane(n)
+    Bp = ((B + _EG_TILE - 1) // _EG_TILE) * _EG_TILE
 
-    Mp = np.zeros((B, np_, np_), dtype=np.float32)
+    Mp = np.zeros((Bp, np_, np_), dtype=np.float32)
     mm = mask[:, :, None] & mask[:, None, :]
-    Mp[:, :n, :n] = np.where(mm, M, 0.0)
+    Mp[:B, :n, :n] = np.where(mm, M, 0.0)
     idx = np.arange(np_)
     # padded/masked vars: identity row with l=u=0 pins them
-    diag_mask = np.ones((B, np_), dtype=bool)
-    diag_mask[:, :n] = ~mask
+    diag_mask = np.ones((Bp, np_), dtype=bool)
+    diag_mask[:B, :n] = ~mask
     Mp[:, idx, idx] = np.where(diag_mask, 1.0, Mp[:, idx, idx])
 
-    def padvec(v, fill):
-        out = np.full((B, 1, np_), fill, dtype=np.float32)
-        out[:, 0, :n] = np.where(mask, np.asarray(v, dtype=np.float64), fill)
-        return out
-
     BIG = np.float32(3e38)
-    qb = padvec(q, 0.0)
-    lb = np.clip(padvec(l, 0.0), -BIG, BIG)
-    ub = np.clip(padvec(u, 0.0), -BIG, BIG)
-    lb[:, 0, n:] = 0.0
-    ub[:, 0, n:] = 0.0
-    # re-fill masked/infinite bounds
-    lraw = np.full((B, np_), 0.0)
-    uraw = np.full((B, np_), 0.0)
-    lraw[:, :n] = np.where(mask, l, 0.0)
-    uraw[:, :n] = np.where(mask, u, 0.0)
-    lb[:, 0, :] = np.where(np.isfinite(lraw), lraw, -BIG).astype(np.float32)
-    ub[:, 0, :] = np.where(np.isfinite(uraw), uraw, BIG).astype(np.float32)
-    lb[:, 0, n:] = 0.0
-    ub[:, 0, n:] = 0.0
+    lraw = np.zeros((Bp, np_))
+    uraw = np.zeros((Bp, np_))
+    lraw[:B, :n] = np.where(mask, l, 0.0)
+    uraw[:B, :n] = np.where(mask, u, 0.0)
+    lb = np.where(np.isfinite(lraw), lraw, -BIG).astype(np.float32)
+    ub = np.where(np.isfinite(uraw), uraw, BIG).astype(np.float32)
+    lb[:, n:] = 0.0
+    ub[:, n:] = 0.0
+    lb[:B, :n] = np.where(mask, lb[:B, :n], 0.0)
+    ub[:B, :n] = np.where(mask, ub[:B, :n], 0.0)
 
-    z0p = padvec(z0, 0.0)
+    qb = np.zeros((Bp, np_), dtype=np.float32)
+    qb[:B, :n] = np.where(mask, q, 0.0)
+    z0p = np.zeros((Bp, np_), dtype=np.float32)
+    z0p[:B, :n] = np.where(mask, z0, 0.0)
     Linf = np.max(np.sum(np.abs(Mp), axis=2), axis=1)
-    tau = (0.9 / (1.0 + Linf)).astype(np.float32).reshape(B, 1, 1)
+    tau = (0.9 / (1.0 + Linf)).astype(np.float32).reshape(Bp, 1)
 
     out = _eg_call(Mp, qb, lb, ub, z0p, tau, steps=steps)
-    z = np.asarray(out)[:, 0, :n].astype(np.float64)
+    z = np.asarray(out)[:B, :n].astype(np.float64)
     if ruiz:
         z = z * e_sc
     return np.where(mask, z, 0.0)
