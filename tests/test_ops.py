@@ -193,3 +193,35 @@ def test_convert_gavi_roundtrip():
     s = g.A @ z
     ok, _, _ = check_avi_solution(avi, np.concatenate([z, s]), np.zeros(0))
     assert ok
+
+
+def test_adaptive_onchip_guard(rng):
+    """The EG pre-pass must never make a lane worse (divergent EG output is
+    rejected per-lane by the natural-residual audit)."""
+    from qpn_tpu.ops.avi import solve_avi_batch_adaptive
+    B, n = 8, 6
+    Ms, qs = [], []
+    for _ in range(B):
+        G = rng.standard_normal((n, n))
+        # deliberately non-monotone
+        Ms.append(G - G.T + rng.standard_normal((n, n)))
+        qs.append(rng.standard_normal(n))
+    l = np.zeros((B, n))
+    u = np.full((B, n), np.inf)
+    res = solve_avi_batch_adaptive(np.array(Ms), np.array(qs), l, u,
+                                   np.zeros((B, n)),
+                                   np.ones((B, n), dtype=bool),
+                                   tol=1e-8, onchip_eg_steps=300)
+    assert np.isfinite(res.resid).all()
+
+
+def test_natural_residual_np():
+    from qpn_tpu.ops.avi import natural_residual_np
+    M = np.eye(2)[None]
+    q = np.array([[-1.0, 2.0]])
+    l = np.zeros((1, 2))
+    u = np.full((1, 2), np.inf)
+    r_sol = natural_residual_np(M, q, l, u, np.array([[1.0, 0.0]]))
+    r_bad = natural_residual_np(M, q, l, u, np.array([[0.0, 0.0]]))
+    assert r_sol[0] < 1e-12
+    assert r_bad[0] > 0.5

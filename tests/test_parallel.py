@@ -69,3 +69,19 @@ def test_equilibrium_superstep():
     out = equilibrium_superstep(mesh, batch, tol=1e-6, max_iter=420)
     assert np.isfinite(np.asarray(out["z"])).all()
     assert np.asarray(out["keep"]).shape == (16,)
+
+
+@requires_multidevice
+@pytest.mark.slow
+def test_equilibrium_superstep_64():
+    """The BASELINE 64-scenario configuration through the sharded step."""
+    from qpn_tpu.models.robust_avoid import scenario_batch_gavis
+    from qpn_tpu.parallel.mesh import make_mesh
+    from qpn_tpu.parallel.sharded import equilibrium_superstep
+    mesh = make_mesh(8)
+    batch = scenario_batch_gavis(num_scenarios=64, T=1, num_obj=1,
+                                 num_poly_faces=3, seed=0)
+    out = equilibrium_superstep(mesh, batch, tol=1e-8, max_iter=840)
+    conv = float(out["converged_frac"])
+    assert conv >= 0.9
+    assert np.asarray(out["keep"]).shape == (64,)
