@@ -350,22 +350,34 @@ class LocalGAVISolutions:
             pieces.append(piece)
         METRICS.bump("pieces_materialized", len(pieces))
         empty = setops.is_empty_batch(pieces, tol=1e-4, x=zw)
-        out = []
+        nv = len(self.decision_inds)
+        slice_spec = np.concatenate([
+            self.z[:nv], np.full(n - nv, np.nan), self.w])
+        survivors = []
+        sliced_list = []
         for K, piece, emp in zip(Ks, pieces, empty):
             if emp:
                 METRICS.bump("pieces_empty")
                 continue
+            wants_verts = (self.max_vertices > len(self.explored_vertices)
+                           and piece.contains(zw, tol=1e-6))
+            survivors.append((K, piece, wants_verts))
+            if wants_verts:
+                sliced_list.append(piece.poly_slice(slice_spec).simplify())
+        # vertex sampling for ALL pieces in one fused batch of kernels
+        vert_results = vertices.get_verts_batch(sliced_list, rng=self.rng) \
+            if sliced_list else []
+        out = []
+        vi = 0
+        for K, piece, wants_verts in survivors:
             verts = []
-            if piece.contains(zw, tol=1e-6):
-                nv = len(self.decision_inds)
-                slice_spec = np.concatenate([
-                    self.z[:nv], np.full(n - nv, np.nan), self.w])
-                sliced = piece.poly_slice(slice_spec).simplify()
-                try:
-                    V, _, _ = vertices.get_verts(sliced, rng=self.rng)
-                except RuntimeError:
-                    V = []
-                verts = [np.concatenate([self.z[:nv], v, self.w]) for v in V]
+            if wants_verts:
+                res = vert_results[vi]
+                vi += 1
+                if res != "empty":
+                    V = res[0]
+                    verts = [np.concatenate([self.z[:nv], v, self.w])
+                             for v in V]
             projected = project_and_permute(piece, self.decision_inds,
                                             self.param_inds)
             METRICS.bump("pieces_projected")

@@ -24,6 +24,104 @@ from .poly import Poly
 from . import setops
 
 
+def get_verts_batch(polys, rng: np.random.Generator = None,
+                    num_samples: int = None, tol: float = 1e-6):
+    """Vertex sampling for MANY polys at once: all emptiness checks, implicit
+    bounds and random-objective LPs across every poly fuse into single
+    padded kernel calls (the per-piece version loops them)."""
+    polys = list(polys)
+    if rng is None:
+        rng = np.random.default_rng(0)
+    if not polys:
+        return []
+    empty, examples = setops.exemplar_batch(polys)
+    # batched implicit-equality detection for intrinsic dim
+    impl_list = []
+    todo_polys, todo_dirs, owners = [], [], []
+    for pi, p in enumerate(polys):
+        impl = np.zeros(p.m, dtype=bool)
+        vals_close = np.isclose(p.l, p.u, atol=1e-4)
+        impl[vals_close] = True
+        impl_list.append(impl)
+        for i in range(p.m):
+            if not impl[i]:
+                todo_polys += [p, p]
+                todo_dirs += [p.A[i], -p.A[i]]
+                owners.append((pi, i))
+    if owners:
+        v, s = setops.support_batch(todo_polys, todo_dirs)
+        for k, (pi, i) in enumerate(owners):
+            lo_v, lo_s = v[2 * k], s[2 * k]
+            hi_v, hi_s = v[2 * k + 1], s[2 * k + 1]
+            if lo_s in (1, 2) and hi_s in (1, 2) and \
+                    np.isclose(lo_v, -hi_v, atol=1e-4):
+                impl_list[pi][i] = True
+    # batched random-objective vertex LPs
+    q_polys, q_dirs, q_owner = [], [], []
+    results = [None] * len(polys)
+    for pi, p in enumerate(polys):
+        if empty[pi]:
+            results[pi] = "empty"
+            continue
+        Aim = p.A[impl_list[pi]]
+        ridim = int(np.linalg.matrix_rank(Aim)) if Aim.size else 0
+        if p.dim - ridim == 0:
+            results[pi] = ([np.asarray(examples[pi])], [], [])
+            continue
+        n = p.dim
+        ns = num_samples or max(2 * n, 8)
+        dirs = np.vstack([rng.standard_normal((ns, n)), np.eye(n), -np.eye(n)])
+        for d in dirs:
+            q_polys.append(p)
+            q_dirs.append(d)
+            q_owner.append(pi)
+    if q_polys:
+        from ..config import row_bucket
+        from collections import defaultdict
+        groups = defaultdict(list)
+        for k, p in enumerate(q_polys):
+            groups[(p.dim, row_bucket(max(p.m, 1)))].append(k)
+        X = [None] * len(q_polys)
+        St = [0] * len(q_polys)
+        for (n, mp), idxs in groups.items():
+            As, ls, us, masks = [], [], [], []
+            for k in idxs:
+                A, l, u, mask = setops._pad_rows(q_polys[k].A, q_polys[k].l,
+                                                 q_polys[k].u, mp)
+                As.append(A)
+                ls.append(l)
+                us.append(u)
+                masks.append(mask)
+            sol = batch_qp.solve_qp_batch_padded(
+                np.zeros((len(idxs), n, n)),
+                np.array([q_dirs[k] for k in idxs]),
+                np.array(As), np.array(ls), np.array(us), np.array(masks))
+            for j, k in enumerate(idxs):
+                X[k] = np.asarray(sol.x[j])
+                St[k] = int(sol.status[j])
+        per_poly_verts = {pi: [] for pi in range(len(polys))}
+        for k, pi in enumerate(q_owner):
+            if St[k] not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
+                continue
+            x = _polish_vertex(q_polys[k], X[k], tol)
+            if x is not None:
+                per_poly_verts[pi].append(x)
+        for pi, p in enumerate(polys):
+            if results[pi] is not None:
+                continue
+            seen = set()
+            V = []
+            for x in per_poly_verts[pi]:
+                key = tuple(np.round(x, 5))
+                if key not in seen:
+                    seen.add(key)
+                    V.append(x)
+            if not V and examples[pi] is not None:
+                V = [np.asarray(examples[pi])]
+            results[pi] = (V, [], [])
+    return results
+
+
 def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
               tol: float = 1e-6):
     """Sample vertices of the closed polyhedron ``p``.
