@@ -35,5 +35,6 @@ from . import rock_paper_scissors     # noqa: E402,F401
 from . import toll_setting            # noqa: E402,F401
 from . import chainstore              # noqa: E402,F401
 from . import trilevel_escape         # noqa: E402,F401
+from . import shepherd_sheep          # noqa: E402,F401
 
 __all__ = ["setup", "register"]

@@ -146,3 +146,23 @@ def test_search_for_game_smoke():
     seed, n_unique = search_for_game([2], max_edges=1)
     assert seed == 2
     assert n_unique >= 1
+
+
+def test_shepherd_sheep():
+    """Interior case: sheep can reach the target, bucket placed so the
+    follower's unconstrained optimum hits it."""
+    qpn = qt.setup("shepherd_sheep", target=(0.5, 0.5), barn_weight=0.0)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    shp = ret.x_opt[2:]
+    assert np.allclose(shp, [0.5, 0.5], atol=1e-4)
+
+
+def test_shepherd_sheep_pen_binding():
+    """Target outside the pen: the sheep pins to the pen corner."""
+    qpn = qt.setup("shepherd_sheep", pen=1.0, target=(2.0, 2.0),
+                   barn_weight=0.0)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    shp = ret.x_opt[2:]
+    assert np.allclose(shp, [1.0, 1.0], atol=1e-4)
