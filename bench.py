@@ -28,10 +28,13 @@ def main():
     from qpn_tpu.models.robust_avoid import scenario_batch_gavis
     from qpn_tpu.ops.avi import (solve_avi_batch,  # noqa: F401
                                  solve_avi_batch_adaptive)
+    from qpn_tpu.ops.avi import solve_kkt_avi_batch
     import functools
-    # straggler-decoupled path; on TPU: fused on-chip f32 extragradient
-    # pre-pass + mixed-precision Newton stages
-    solve_avi_batch = functools.partial(
+    # production path: the scenario ensemble is a stacked QP-KKT system, so
+    # the structured route (batched ADMM QP + dual reconstruction + f64
+    # Newton polish, AVI-residual-audited) is used when the structure tag is
+    # present; the generic adaptive hybrid solver covers everything else
+    solve_avi_batch_generic = functools.partial(
         solve_avi_batch_adaptive, mixed=(backend == "tpu"),
         onchip_eg_steps=20000 if backend == "tpu" else 0)
 
@@ -40,6 +43,12 @@ def main():
                                  num_poly_faces=4, seed=0)
     M, q, l, u = batch["M"], batch["q"], batch["l"], batch["u"]
     z0, mask = batch["z0"], batch["mask"]
+    structure = batch.get("structure")
+
+    def solve_avi_batch(M, q, l, u, z0, mask, tol):
+        if structure is not None:
+            return solve_kkt_avi_batch(M, q, l, u, mask, structure, tol=tol)
+        return solve_avi_batch_generic(M, q, l, u, z0, mask, tol=tol)
 
     tol = 1e-8
 

@@ -198,4 +198,9 @@ def scenario_batch_gavis(num_scenarios: int = 64, T: int = 3,
         lt[sidx, fin_l & ~both] += jl[fin_l & ~both]
     zt = np.zeros((S, n))
     mask = np.ones((S, n), dtype=bool)
-    return dict(M=Mt, q=qt, l=lt, u=ut, z0=zt, mask=mask)
+    out = dict(M=Mt, q=qt, l=lt, u=ut, z0=zt, mask=mask)
+    if total_xi == nd:
+        # the reduced layout is exactly [x (nd); lambda (m); s (m)] - expose
+        # it so structured solvers (ops.avi.solve_kkt_avi_batch) can exploit it
+        out["structure"] = {"nd": nd, "m": (n - nd) // 2}
+    return out

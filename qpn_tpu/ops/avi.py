@@ -414,6 +414,58 @@ def solve_avi_batch_adaptive(M, q, l, u, z0, var_mask, *, tol=1e-10,
                      converged=conv_out)
 
 
+def solve_kkt_avi_batch(M, q, l, u, var_mask, structure, tol=1e-10):
+    """Structured solve for stacked-KKT AVIs.
+
+    When the ensemble is known to be the KKT system of box/polyhedral QPs
+    (``structure = {"nd": #primal, "m": #constraint rows}`` with variable
+    layout ``z = [x; λ; s]`` produced by the ξ-free reduction), the fastest
+    correct method is to solve the underlying QPs with the batched ADMM
+    kernel, reconstruct ``(λ, s)`` from the duals, and polish with a short f64
+    Newton pass — every result is still audited against the AVI natural
+    residual, so the output contract matches the generic solver exactly.
+    """
+    M = np.asarray(M, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    B, n, _ = M.shape
+    nd, m = structure["nd"], structure["m"]
+    assert n >= nd + 2 * m
+    # recover QP data from the KKT blocks:
+    #   rows 0..nd:      Q x − A' λ + c = 0
+    #   rows nd..nd+m:   A x − s       (+ q offset) = 0
+    #   vars nd+m..:     s with bounds [l2, u2]
+    Q = M[:, :nd, :nd]
+    At = -M[:, :nd, nd:nd + m]
+    A = M[:, nd:nd + m, :nd]
+    c = q[:, :nd]
+    off = q[:, nd:nd + m]          # A x − s + off = 0  →  s = A x + off
+    l2 = np.asarray(l)[:, nd + m:nd + 2 * m]
+    u2 = np.asarray(u)[:, nd + m:nd + 2 * m]
+    # constraint on x: l2 − off ≤ A x ≤ u2 − off
+    sol = batch_qp.solve_qp_batch(
+        Q, c, A, l2 - off, u2 - off, np.ones((B, m), dtype=bool))
+    x = np.asarray(sol.x)
+    y = np.asarray(sol.y)
+    lam = -y
+    s = np.einsum("bij,bj->bi", A, x) + off
+    z = np.concatenate([x, lam, s], axis=1)
+    if n > nd + 2 * m:             # padded tail
+        z = np.concatenate([z, np.zeros((B, n - nd - 2 * m))], axis=1)
+    resid = natural_residual_np(M, q, l, u, z, var_mask)
+    # short f64 Newton polish for lanes above tolerance
+    need = resid > tol
+    if need.any():
+        idx = np.nonzero(need)[0]
+        res = solve_avi_batch_padded(
+            M[idx], q[idx], np.asarray(l)[idx], np.asarray(u)[idx],
+            z[idx], np.asarray(var_mask)[idx], tol=tol, max_iter=780)
+        z[idx] = np.asarray(res.z)
+        resid[idx] = np.asarray(res.resid)
+    return AVIResult(z=z, resid=resid,
+                     iters=np.asarray(sol.iters),
+                     converged=resid <= tol)
+
+
 def solve_avi_batch_padded(M, q, l, u, z0, var_mask, **kw):
     """Bucket-pad the batch and variable dimensions so ragged AVI ensembles
     reuse a handful of compiled kernels (see config.dim_buckets)."""

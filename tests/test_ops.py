@@ -225,3 +225,18 @@ def test_natural_residual_np():
     r_bad = natural_residual_np(M, q, l, u, np.array([[0.0, 0.0]]))
     assert r_sol[0] < 1e-12
     assert r_bad[0] > 0.5
+
+
+def test_structured_kkt_route(rng):
+    """solve_kkt_avi_batch must agree with the generic solver on structured
+    ensembles (AVI-residual-audited)."""
+    from qpn_tpu.models.robust_avoid import scenario_batch_gavis
+    from qpn_tpu.ops.avi import solve_kkt_avi_batch, natural_residual_np
+    b = scenario_batch_gavis(num_scenarios=8, T=1, num_obj=1,
+                             num_poly_faces=3, seed=0)
+    assert "structure" in b
+    res = solve_kkt_avi_batch(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                              b["structure"], tol=1e-8)
+    assert res.converged.all()
+    r = natural_residual_np(b["M"], b["q"], b["l"], b["u"], res.z, b["mask"])
+    assert r.max() <= 1e-8
