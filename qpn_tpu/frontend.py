@@ -130,9 +130,9 @@ def variable(name: str) -> Var:
 
 def variables(name: str, *dims) -> np.ndarray:
     """Array of Vars, e.g. variables('x', 2) or variables('uo', 2, 3)
-    (programs.jl:143-144)."""
-    dims = tuple(int(d) if not hasattr(d, "stop") else len(range(d.start, d.stop + 1))
-                 for d in dims)
+    (programs.jl:143-144).  Dims are sizes (ints) or ranges — a Python
+    ``range`` contributes ``len(range)`` entries."""
+    dims = tuple(len(d) if isinstance(d, range) else int(d) for d in dims)
     out = np.empty(dims, dtype=object)
     for idx in np.ndindex(*dims):
         suffix = "_".join(str(i + 1) for i in idx)

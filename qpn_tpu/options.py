@@ -17,7 +17,8 @@ class _AllLevels:
     every positive level is a member."""
 
     def __contains__(self, x) -> bool:
-        return isinstance(x, int) and x > 0
+        import numbers
+        return isinstance(x, numbers.Integral) and x > 0
 
     def __repr__(self):
         return "AllLevels()"
