@@ -410,6 +410,19 @@ def solve_avi_batch_adaptive(M, q, l, u, z0, var_mask, *, tol=1e-10,
                     np.linalg.norm(qs[conv_idx] - qs[i], axis=1))]
                 if resid_out[i] > 1e-4:
                     z_out[i] = z_out[j]
+    if len(idx):
+        # final escalation tier: proximal Lemke pivoting on the stragglers —
+        # terminates exactly on a complementary basis where the smooth hybrid
+        # chases residuals (the PATH reliability class, avi.jl:63-77)
+        from .lemke import lemke_escalate
+        zL, rL = lemke_escalate(
+            M[idx], np.asarray(q)[idx], np.asarray(l)[idx],
+            np.asarray(u)[idx], z_out[idx], np.asarray(var_mask)[idx],
+            tol=tol)
+        better = rL < resid_out[idx]
+        z_out[idx[better]] = zL[better]
+        resid_out[idx[better]] = rL[better]
+        conv_out[idx] = resid_out[idx] <= tol
     return AVIResult(z=z_out, resid=resid_out, iters=iters_out,
                      converged=conv_out)
 
@@ -618,6 +631,16 @@ def solve_avi(avi: AVI, z0, w, convergence_tolerance: float = 1e-10,
     best = int(np.argmin(resid))
     z = np.asarray(res.z[best])
     ok = bool(res.converged[best])
+    if not ok:
+        # escalation tier: proximal Lemke pivoting — the problem class where
+        # smooth methods stall (degenerate multi-player LP-KKT QEPs) is
+        # exactly what the reference's PATH pivoting handles (avi.jl:63-77)
+        from .lemke import lemke_escalate
+        zL, rL = lemke_escalate(
+            avi.M[None], q[None], avi.l[None], avi.u[None], z[None],
+            np.ones((1, n), dtype=bool), tol=convergence_tolerance)
+        if rL[0] < resid[best]:
+            z, ok = zL[0], bool(rL[0] <= convergence_tolerance)
     sol_ok, degree, _ = check_avi_solution(avi, z, w, tol=1e-6)
     status = Status.SUCCESS if (ok and sol_ok) else Status.FAILURE
     return z, status

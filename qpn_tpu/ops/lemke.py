@@ -1,0 +1,563 @@
+"""Batched Lemke-style complementary pivoting for box AVIs.
+
+The reference's equilibrium core is PATH — a *pivoting* mixed-complementarity
+solver (``avi.jl:63-77``; in-repo prior art ``deprecated/avi_scratch.jl:17-134``
+is a hand-rolled tableau method with ray termination).  Pivoting is what makes
+PATH reliable on the degenerate LP-KKT / QEP systems where smooth Newton-type
+methods stall: it terminates *exactly* on a complementary basis instead of
+chasing a semismooth residual through singular Jacobians.
+
+This module is the TPU-native counterpart, designed from the classical theory
+(Lemke's complementary pivoting with a covering vector, extended to box
+constraints) rather than translated:
+
+* The box AVI  ``M z + q ⟂ l ≤ z ≤ u``  is pivoted directly — no reduction to
+  a standard LCP.  Every index ``i`` owns three candidate variables: ``z_i``
+  (basic when strictly between bounds), a lower slack ``u_i ≥ 0`` (basic when
+  ``z_i = l_i``) and an upper slack ``v_i ≥ 0`` (basic when ``z_i = u_i``),
+  tied by the tableau equation ``M z − u + v + c·t = −q``.
+* Free rows (``l = −∞, u = +∞``) keep ``z_i`` basic forever — equations.
+  Pinned rows (``l = u``, incl. batch padding) make the slack sign-free.
+* The artificial ``t`` enters first along a covering direction that lifts
+  exactly the infeasible slack rows; Lemke's almost-complementary path is then
+  followed (complement of the exiting variable enters; entering variables that
+  span their whole box *bound-flip* and hand over to their opposite slack)
+  until ``t`` exits (SUCCESS) or a ray is found (RAY_TERM).
+* Degeneracy is resolved by the **lexicographic ratio test** using the
+  ``−B⁻¹`` block that the tableau already carries in its ``u``-columns — no
+  extra storage, no random perturbation, no cycling.
+* The batched implementation is fixed-shape JAX: state is a ``(B, n, 3n+2)``
+  tableau plus integer basis bookkeeping, advanced by rank-1 pivot updates
+  inside one ``lax.while_loop`` with per-lane done masks, so hundreds of AVIs
+  pivot in lockstep on one chip.
+
+Free-variable blocks of equilibrium assemblies are often structurally singular
+(saddle KKT systems: the free/free block of ``M`` can be exactly zero), which
+makes the *initial* complementary basis singular.  The driver therefore
+supports proximal regularization: solve ``(M + δI) z + (q − δ z_ref) ⟂ [l,u]``
+— strongly monotone, hence a P-matrix problem Lemke processes without rays —
+and hand the exact pivoting solution to the Newton polish on the unregularized
+problem.  One or two proximal rounds recover the true active set; PATH's own
+crash phase plays the same role.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INF = np.inf
+
+
+class LemkeResult(NamedTuple):
+    z: np.ndarray          # (B, n) solution estimate
+    status: np.ndarray     # (B,) 1=success 2=ray 3=max_pivots 4=singular
+    pivots: np.ndarray     # (B,)
+
+
+LEMKE_SUCCESS = 1
+LEMKE_RAY = 2
+LEMKE_MAX = 3
+LEMKE_SINGULAR = 4
+
+
+# --------------------------------------------------------------------------
+#  Host (numpy) reference implementation — the oracle for the batched kernel
+#  and the fallback for host-driven single solves.
+# --------------------------------------------------------------------------
+
+def synth_bounds(l, u, z0, synth_scale):
+    """Cap infinite bounds with synthetic big-M boxes centered at the start.
+
+    With every variable boxed, the initial Lemke basis is pure slack (∓I,
+    always invertible — the structurally singular free/free saddle blocks of
+    equilibrium KKT systems never enter a factorization) and ray termination
+    is impossible (the almost-complementary path in a compact box always ends
+    with t exiting).  A solution pressed against a synthetic bound is NOT a
+    solution of the original AVI; callers audit against the true bounds and
+    retry with a larger box (see lemke_escalate).
+    """
+    ref = np.clip(np.nan_to_num(np.clip(np.nan_to_num(z0), l, u)),
+                  -1e12, 1e12)
+    fin = np.concatenate([l[np.isfinite(l)], u[np.isfinite(u)]])
+    L = synth_scale * (1.0 + np.abs(ref).max(initial=0.0)
+                       + (np.abs(fin).max() if fin.size else 0.0))
+    l_eff = np.where(np.isinf(l), ref - L, l)
+    u_eff = np.where(np.isinf(u), ref + L, u)
+    return l_eff, u_eff, L
+
+
+def solve_lemke_np(M, q, l, u, z0=None, tol=1e-9, piv_tol=1e-11,
+                   max_pivots=None, synth_scale=1e4, cover="viol",
+                   at_lower=None):
+    """Single-instance box-AVI complementary pivoting (host reference).
+
+    Returns ``(z, status, pivots)``.  ``status == LEMKE_SUCCESS`` means an
+    exact complementary basis was reached *for the synthetically boxed
+    problem*; the caller should audit the natural residual against the true
+    bounds (matching the reference's own ``check_avi_solution`` discipline,
+    avi.jl:148-156) — a solution pressed against a synthetic bound fails it.
+    """
+    M = np.asarray(M, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    l_orig = np.asarray(l, dtype=np.float64)
+    u_orig = np.asarray(u, dtype=np.float64)
+    n = q.shape[0]
+    if max_pivots is None:
+        max_pivots = max(400, 20 * n)
+    if z0 is None:
+        z0 = np.zeros(n)
+    zc = np.clip(np.nan_to_num(np.asarray(z0, dtype=np.float64)),
+                 l_orig, u_orig)
+    zc = np.clip(np.nan_to_num(zc), -1e12, 1e12)
+
+    l_eff, u_eff, _L = synth_bounds(l_orig, u_orig, zc, synth_scale)
+    l, u = l_eff, u_eff
+    pinned = (u - l) <= 0.0
+
+    # variable id map: z_i = i, u_i = n+i, v_i = 2n+i, t = 3n
+    T_ID = 3 * n
+    var_lb = np.empty(3 * n + 1)
+    var_ub = np.empty(3 * n + 1)
+    var_lb[:n], var_ub[:n] = l, u
+    var_lb[n:2 * n] = np.where(pinned, -_INF, 0.0)   # pinned slack sign-free
+    var_ub[n:2 * n] = _INF
+    var_lb[2 * n:3 * n] = 0.0
+    var_ub[2 * n:3 * n] = _INF
+    var_lb[T_ID], var_ub[T_ID] = 0.0, _INF
+
+    # nonbasic z start at the bound nearest to z0; slack basic = ∓row
+    if at_lower is None:
+        at_lower = (zc - l) <= (u - zc)
+    start_val = np.where(at_lower, l, u)
+
+    basis = np.where(at_lower, n + np.arange(n), 2 * n + np.arange(n))
+    val = np.zeros(3 * n + 1)
+    val[:n] = start_val
+
+    # initial basis is ∓I — premultiplication is a row sign flip, no solve
+    sign = np.where(at_lower, -1.0, 1.0)
+    T = sign[:, None] * np.concatenate(
+        [M, -np.eye(n), np.eye(n), np.zeros((n, 1)), -q[:, None]], axis=1)
+
+    def basic_values():
+        nb = val.copy()
+        nb[basis] = 0.0
+        return T[:, -1] - T[:, :3 * n + 1] @ nb
+
+    xB = basic_values()
+    blb = var_lb[basis]
+    viol = np.maximum(blb - xB, 0.0)
+    scale = 1.0 + np.abs(q).max(initial=0.0) + np.abs(xB).max(initial=0.0)
+    if viol.max(initial=0.0) <= tol * scale:
+        return _extract_np(n, basis, val, xB), LEMKE_SUCCESS, 0
+
+    # --- first pivot: t enters along the covering direction --------------
+    if cover == "all":
+        s = np.ones(n)            # classic Lemke covering (different path)
+    else:
+        s = (viol > tol * scale).astype(np.float64)
+    T[:, T_ID] = -s
+    jstar = int(np.argmax(viol))
+    if abs(T[jstar, T_ID]) < piv_tol:
+        return zc, LEMKE_SINGULAR, 0
+    exiting = int(basis[jstar])
+    val[exiting] = var_lb[exiting]        # exits at the bound it violated
+    _pivot_np(T, jstar, T_ID)
+    basis[jstar] = T_ID
+    val[T_ID] = 0.0
+
+    entering, ent_dir, ent_val = _complement_np(exiting, val, l, u, n)
+
+    pivots = 1
+    while pivots < max_pivots:
+        val[entering] = ent_val
+        nb = val.copy()
+        nb[basis] = 0.0
+        xB = T[:, -1] - T[:, :3 * n + 1] @ nb
+        d = ent_dir * T[:, entering]
+        blb = var_lb[basis]
+        bub = var_ub[basis]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            theta = np.where(d > piv_tol, (xB - blb) / d,
+                             np.where(d < -piv_tol, (xB - bub) / d, _INF))
+        theta = np.where(np.isnan(theta), _INF, np.maximum(theta, 0.0))
+        # entering variable's own range (bound flip)
+        if ent_dir > 0:
+            theta_e = var_ub[entering] - ent_val
+        else:
+            theta_e = ent_val - var_lb[entering]
+        tstar = theta.min(initial=_INF)
+
+        if not np.isfinite(tstar) and not np.isfinite(theta_e):
+            return (_extract_np(n, basis, val, xB), LEMKE_RAY, pivots)
+
+        if theta_e <= tstar:                       # bound flip
+            newv = (var_ub[entering] if ent_dir > 0 else var_lb[entering])
+            val[entering] = newv
+            i = entering % n
+            if ent_dir > 0:        # z_i reached its upper bound
+                entering, ent_dir, ent_val = 2 * n + i, 1.0, 0.0
+            else:                  # z_i reached its lower bound
+                entering, ent_dir, ent_val = n + i, 1.0, 0.0
+            pivots += 1
+            continue
+
+        # lexicographic tie-break over -B^{-1} (the u-column block)
+        ties = np.nonzero(theta <= tstar + tol * (1.0 + abs(tstar)))[0]
+        if len(ties) > 1:
+            trow = np.nonzero(basis == T_ID)[0]
+            if len(trow) and trow[0] in ties:
+                jstar = int(trow[0])               # let t exit: terminate
+            else:
+                cand = ties
+                for k in range(n):
+                    key = -T[cand, n + k] / d[cand]
+                    kmin = key.min()
+                    cand = cand[key <= kmin + 1e-12 * (1.0 + abs(kmin))]
+                    if len(cand) == 1:
+                        break
+                jstar = int(cand[0])
+        else:
+            jstar = int(ties[0])
+
+        if abs(T[jstar, entering]) < piv_tol:
+            # numerically unusable pivot: treat as ray/abort
+            return (_extract_np(n, basis, val, xB), LEMKE_SINGULAR, pivots)
+
+        exiting = int(basis[jstar])
+        hit_lower = d[jstar] > 0
+        val[exiting] = var_lb[exiting] if hit_lower else var_ub[exiting]
+        _pivot_np(T, jstar, entering)
+        basis[jstar] = entering
+        val[entering] = 0.0
+        pivots += 1
+
+        if exiting == T_ID:
+            nb = val.copy()
+            nb[basis] = 0.0
+            xB = T[:, -1] - T[:, :3 * n + 1] @ nb
+            return (_extract_np(n, basis, val, xB), LEMKE_SUCCESS, pivots)
+
+        entering, ent_dir, ent_val = _complement_np(exiting, val, l, u, n)
+
+    nb = val.copy()
+    nb[basis] = 0.0
+    xB = T[:, -1] - T[:, :3 * n + 1] @ nb
+    return _extract_np(n, basis, val, xB), LEMKE_MAX, pivots
+
+
+def _pivot_np(T, row, col):
+    T[row, :] = T[row, :] / T[row, col]
+    other = T[:, col].copy()
+    other[row] = 0.0
+    T -= np.outer(other, T[row, :])
+
+
+def _complement_np(exiting, val, l, u, n):
+    """Lemke rule: the complement of the exiting variable drives next."""
+    i = exiting % n
+    if exiting < n:                      # z_i exited at a bound
+        at_l = abs(val[exiting] - l[i]) <= abs(val[exiting] - u[i])
+        return (n + i, 1.0, 0.0) if at_l else (2 * n + i, 1.0, 0.0)
+    if exiting < 2 * n:                  # u_i exited → z_i rises from l_i
+        return i, 1.0, l[i]
+    return i, -1.0, u[i]                 # v_i exited → z_i falls from u_i
+
+
+def _extract_np(n, basis, val, xB):
+    z = val[:n].copy()
+    rows = np.nonzero(basis < n)[0]
+    z[basis[rows]] = xB[rows]
+    return z
+
+
+# --------------------------------------------------------------------------
+#  Batched fixed-shape JAX kernel
+# --------------------------------------------------------------------------
+
+def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
+                  synth_scale, cover):
+    """One lane of the batched pivot loop (vmapped by solve_lemke_batch).
+
+    Mirrors :func:`solve_lemke_np` with masks instead of branches; every
+    array is fixed-shape, the while_loop carries (T, basis, val, entering…).
+    """
+    n = q.shape[0]
+    dt = q.dtype
+    T_ID = 3 * n
+    eye = jnp.eye(n, dtype=dt)
+
+    # padded variables become pinned-at-zero rows with identity diagonal
+    M = jnp.where(var_mask[:, None] & var_mask[None, :], M, eye)
+    q = jnp.where(var_mask, q, 0.0)
+    l = jnp.where(var_mask, l, 0.0)
+    u = jnp.where(var_mask, u, 0.0)
+
+    # synthetic big-M boxes on infinite bounds (see synth_bounds): the
+    # initial basis is pure slack and rays are impossible
+    zc = jnp.clip(jnp.nan_to_num(jnp.clip(jnp.nan_to_num(z0), l, u)),
+                  -1e12, 1e12)
+    fin_mag = jnp.maximum(
+        jnp.max(jnp.where(jnp.isfinite(l), jnp.abs(l), 0.0), initial=0.0),
+        jnp.max(jnp.where(jnp.isfinite(u), jnp.abs(u), 0.0), initial=0.0))
+    L = synth_scale * (1.0 + jnp.max(jnp.abs(zc), initial=0.0) + fin_mag)
+    l = jnp.where(jnp.isinf(l), zc - L, l)
+    u = jnp.where(jnp.isinf(u), zc + L, u)
+    pinned = (u - l) <= 0.0
+
+    inf = jnp.asarray(_INF, dtype=dt)
+    var_lb = jnp.concatenate([l, jnp.where(pinned, -inf, 0.0),
+                              jnp.zeros(n, dt), jnp.zeros(1, dt)])
+    var_ub = jnp.concatenate([u, jnp.full(n, inf, dt), jnp.full(n, inf, dt),
+                              jnp.full(1, inf, dt)])
+
+    at_lower = (zc - l) <= (u - zc)
+    start_val = jnp.where(at_lower, l, u)
+
+    ar = jnp.arange(n)
+    basis0 = jnp.where(at_lower, n + ar, 2 * n + ar)
+    val0 = jnp.concatenate([start_val, jnp.zeros(2 * n + 1, dt)])
+
+    # initial basis is ∓I — premultiplication is a row sign flip, no solve
+    sign = jnp.where(at_lower, -1.0, 1.0)
+    T0 = sign[:, None] * jnp.concatenate(
+        [M, -eye, eye, jnp.zeros((n, 1), dt), -q[:, None]], axis=1)
+    bad_init = jnp.asarray(False)
+
+    def basic_values(T, basis, val):
+        nb = val.at[basis].set(0.0)
+        return T[:, -1] - T[:, :3 * n + 1] @ nb
+
+    xB0 = basic_values(T0, basis0, val0)
+    blb0 = var_lb[basis0]
+    viol = jnp.maximum(blb0 - xB0, 0.0)
+    scale = (1.0 + jnp.max(jnp.abs(q), initial=0.0)
+             + jnp.max(jnp.abs(xB0), initial=0.0))
+    solved_at_start = jnp.max(viol, initial=0.0) <= tol * scale
+
+    # --- first pivot: t enters along the covering direction ----------------
+    if cover == "all":
+        s_cov = jnp.ones(n, dt)
+    else:
+        s_cov = (viol > tol * scale).astype(dt)
+    T0 = T0.at[:, T_ID].set(-s_cov)
+    j0 = jnp.argmax(viol)
+    exiting0 = basis0[j0]
+    val0 = val0.at[exiting0].set(var_lb[exiting0])
+    T1 = _pivot_jax(T0, j0, jnp.asarray(T_ID))
+    basis1 = basis0.at[j0].set(T_ID)
+
+    ent0, dir0, ev0 = _complement_jax(exiting0, val0, l, u, n)
+
+    status_init = jnp.where(bad_init, LEMKE_SINGULAR,
+                            jnp.where(solved_at_start, LEMKE_SUCCESS, 0))
+
+    def cond(state):
+        T, basis, val, entering, ent_dir, ent_val, k, status = state
+        return (status == 0) & (k < max_pivots)
+
+    def body(state):
+        T, basis, val, entering, ent_dir, ent_val, k, status = state
+        val = val.at[entering].set(ent_val)
+        nb = val.at[basis].set(0.0)
+        xB = T[:, -1] - T[:, :3 * n + 1] @ nb
+        d = ent_dir * T[:, entering]
+        blb = var_lb[basis]
+        bub = var_ub[basis]
+        theta = jnp.where(d > piv_tol, (xB - blb) / d,
+                          jnp.where(d < -piv_tol, (xB - bub) / d, inf))
+        theta = jnp.maximum(jnp.nan_to_num(theta, nan=_INF, posinf=_INF), 0.0)
+        theta_e = jnp.where(ent_dir > 0, var_ub[entering] - ent_val,
+                            ent_val - var_lb[entering])
+        tstar = jnp.min(theta, initial=_INF)
+
+        is_ray = ~jnp.isfinite(tstar) & ~jnp.isfinite(theta_e)
+        do_flip = ~is_ray & (theta_e <= tstar)
+
+        # ---- bound flip branch (no basis change) --------------------------
+        i_e = entering % n
+        flip_newval = jnp.where(ent_dir > 0, var_ub[entering],
+                                var_lb[entering])
+        flip_entering = jnp.where(ent_dir > 0, 2 * n + i_e, n + i_e)
+
+        # ---- pivot branch -------------------------------------------------
+        tie = theta <= tstar + tol * (1.0 + jnp.abs(tstar))
+        t_row = basis == T_ID
+        pick_t = jnp.any(tie & t_row)
+        # lexicographic refinement over the -B^{-1} block (u-columns)
+        safe_d = jnp.where(jnp.abs(d) > piv_tol, d, 1.0)
+
+        def lex_body(kk, cand):
+            key = jnp.where(cand, -T[:, n + kk] / safe_d, inf)
+            kmin = jnp.min(key, initial=_INF)
+            keep = cand & (key <= kmin + 1e-12 * (1.0 + jnp.abs(kmin)))
+            return jnp.where(jnp.sum(cand) > 1, keep, cand)
+
+        cand = jax.lax.fori_loop(0, n, lex_body, tie)
+        jstar = jnp.where(pick_t, jnp.argmax(tie & t_row), jnp.argmax(cand))
+        piv = T[jstar, entering]
+        bad_piv = jnp.abs(piv) < piv_tol
+
+        exiting = basis[jstar]
+        hit_lower = d[jstar] > 0
+        exit_val = jnp.where(hit_lower, var_lb[exiting], var_ub[exiting])
+
+        T_piv = _pivot_jax(T, jstar, entering)
+        basis_piv = basis.at[jstar].set(entering)
+        val_piv = val.at[exiting].set(exit_val).at[entering].set(0.0)
+        t_exits = exiting == T_ID
+        nent, ndir, nev = _complement_jax(exiting, val_piv, l, u, n)
+
+        do_pivot = ~is_ray & ~do_flip & ~bad_piv
+        T = jnp.where(do_pivot, T_piv, T)
+        basis = jnp.where(do_pivot, basis_piv, basis)
+        val = jnp.where(do_pivot, val_piv,
+                        jnp.where(do_flip, val.at[entering].set(flip_newval),
+                                  val))
+        entering_n = jnp.where(do_pivot, nent,
+                               jnp.where(do_flip, flip_entering, entering))
+        dir_n = jnp.where(do_pivot, ndir, jnp.where(do_flip, 1.0, ent_dir))
+        ev_n = jnp.where(do_pivot, nev, jnp.where(do_flip, 0.0, ent_val))
+        status = jnp.where(is_ray, LEMKE_RAY,
+                           jnp.where(~do_flip & bad_piv, LEMKE_SINGULAR,
+                                     jnp.where(do_pivot & t_exits,
+                                               LEMKE_SUCCESS, status)))
+        return (T, basis, val, entering_n, dir_n, ev_n, k + 1, status)
+
+    state0 = (T1, basis1, val0, ent0, dir0, ev0, jnp.int32(1),
+              jnp.int32(status_init))
+    T, basis, val, _, _, _, k, status = jax.lax.while_loop(cond, body, state0)
+    status = jnp.where(status == 0, LEMKE_MAX, status)
+
+    # solved-at-start lanes keep their pre-pivot state
+    T = jnp.where(solved_at_start, T0.at[:, T_ID].set(0.0), T)
+    basis = jnp.where(solved_at_start, basis0, basis)
+    xB = basic_values(T, basis, val)
+    # z_i = row value if z_i is basic in some row, else its nonbasic value
+    in_basis = basis < n
+    rowof = jnp.full(n + 1, -1, dtype=jnp.int32)
+    rowof = rowof.at[jnp.where(in_basis, basis, n)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:n]
+    z = jnp.where(rowof >= 0, xB[jnp.clip(rowof, 0)], val[:n])
+    z = jnp.where(var_mask, z, 0.0)
+    k = jnp.where(solved_at_start, 0, k)
+    return z, status, k
+
+
+def _pivot_jax(T, row, col):
+    pr = T[row, :] / T[row, col]
+    other = T[:, col].at[row].set(0.0)
+    return (T - jnp.outer(other, pr)).at[row, :].set(pr)
+
+
+def _complement_jax(exiting, val, l, u, n):
+    i = exiting % n
+    is_z = exiting < n
+    is_u = (exiting >= n) & (exiting < 2 * n)
+    at_l = jnp.abs(val[exiting] - l[i]) <= jnp.abs(val[exiting] - u[i])
+    ent = jnp.where(is_z, jnp.where(at_l, n + i, 2 * n + i),
+                    i)
+    direction = jnp.where(is_z, 1.0, jnp.where(is_u, 1.0, -1.0))
+    ev = jnp.where(is_z, 0.0, jnp.where(is_u, l[i], u[i]))
+    return ent, direction, ev
+
+
+@functools.partial(jax.jit, static_argnames=("max_pivots", "cover"))
+def solve_lemke_batch(M, q, l, u, z0, var_mask, tol=1e-9, piv_tol=1e-11,
+                      max_pivots: int = 512, synth_scale=1e4,
+                      cover: str = "viol"):
+    """Batched box-AVI Lemke solve.  Shapes: M (B,n,n); q/l/u/z0/mask (B,n).
+
+    Returns ``(z, status, pivots)`` stacked over the batch.  Lanes terminate
+    individually (done masks); the while_loop runs until the slowest lane
+    finishes or ``max_pivots``.
+    """
+    fn = functools.partial(_lemke_single, tol=tol, piv_tol=piv_tol,
+                           max_pivots=max_pivots, synth_scale=synth_scale,
+                           cover=cover)
+    return jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn(M_, q_, l_, u_, z_, vm))(
+        M, q, l, u, z0, var_mask)
+
+
+def solve_lemke_batch_padded(M, q, l, u, z0, var_mask, tol=1e-9):
+    """Bucket-pad batch and variable dims so ragged ensembles reuse a handful
+    of compiled pivot kernels (same discipline as solve_avi_batch_padded)."""
+    from ..config import bucket, CONFIG
+    M = np.asarray(M, dtype=np.float64)
+    B, n, _ = M.shape
+    Bp = bucket(B, (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
+    np_ = bucket(n, CONFIG.row_buckets)
+    Mp = np.zeros((Bp, np_, np_))
+    Mp[:, range(np_), range(np_)] = 1.0
+    Mp[:B, :n, :n] = M
+    pads = []
+    for a, fill in ((q, 0.0), (l, 0.0), (u, 0.0), (z0, 0.0)):
+        ap = np.full((Bp, np_), fill)
+        ap[:B, :n] = a
+        pads.append(ap)
+    mp = np.zeros((Bp, np_), dtype=bool)
+    mp[:B, :n] = var_mask
+    max_pivots = int(min(4096, 16 * np_ + 256))
+    z, status, piv = solve_lemke_batch(Mp, *pads, mp, tol=tol,
+                                       max_pivots=max_pivots)
+    return (np.asarray(z)[:B, :n], np.asarray(status)[:B],
+            np.asarray(piv)[:B])
+
+
+def lemke_escalate(M, q, l, u, z0, var_mask, *, tol=1e-10,
+                   deltas=(0.0, 1e-7, 1e-4), rounds=2):
+    """Proximal-Lemke escalation tier for stubborn AVI lanes.
+
+    For each lane still above ``tol``: pivot on ``(M + δI, q − δ z_ref)`` for
+    an escalating δ schedule (δ=0 is the raw problem; positive δ makes the
+    subproblem strongly monotone so Lemke processes it without rays and with a
+    nonsingular start basis), Newton-polish the pivot solution on the TRUE
+    problem, and accept whatever lowers the natural residual.  A second round
+    re-centers ``z_ref`` at the incumbent — the proximal-point iteration that
+    converges for monotone problems.  Returns ``(z, resid)`` arrays.
+    """
+    from .avi import natural_residual_np, solve_avi_batch_polish
+    M = np.asarray(M, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    l = np.asarray(l, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    z0 = np.asarray(z0, dtype=np.float64)
+    var_mask = np.asarray(var_mask, dtype=bool)
+    B, n = q.shape
+    eye = np.eye(n)
+    z_best = z0.copy()
+    r_best = natural_residual_np(M, q, l, u, z0, var_mask)
+    z_ref = z0.copy()
+    for _ in range(rounds):
+        for delta in deltas:
+            idx = np.nonzero(r_best > tol)[0]
+            if len(idx) == 0:
+                return z_best, r_best
+            Md = M[idx] + delta * eye[None, :, :]
+            qd = q[idx] - delta * z_ref[idx]
+            z_piv, status, _ = solve_lemke_batch_padded(
+                Md, qd, l[idx], u[idx], z_ref[idx], var_mask[idx],
+                tol=max(tol, 1e-11))
+            # polish the pivot solution on the unregularized problem
+            res = solve_avi_batch_polish(
+                M[idx], q[idx], l[idx], u[idx], z_piv, var_mask[idx],
+                tol=tol, max_iter=40)
+            z_new = np.asarray(res.z)
+            r_new = natural_residual_np(M[idx], q[idx], l[idx], u[idx],
+                                        z_new, var_mask[idx])
+            # the raw pivot output may itself be the better point
+            r_piv = natural_residual_np(M[idx], q[idx], l[idx], u[idx],
+                                        z_piv, var_mask[idx])
+            use_piv = r_piv < r_new
+            z_new = np.where(use_piv[:, None], z_piv, z_new)
+            r_new = np.minimum(r_new, r_piv)
+            better = r_new < r_best[idx]
+            z_best[idx[better]] = z_new[better]
+            r_best[idx[better]] = r_new[better]
+        z_ref = z_best.copy()
+    return z_best, r_best

@@ -1,0 +1,197 @@
+"""Tests for the batched Lemke complementary-pivot engine (ops/lemke.py).
+
+The engine is the TPU-native counterpart of PATH's pivoting core
+(reference: avi.jl:63-77; prior art deprecated/avi_scratch.jl:17-134).
+Covers: random box-LCP classes (PD, nonsymmetric, monotone-degenerate),
+free/pinned/one-sided bounds, batch padding, the host/JAX agreement, and
+the proximal escalation on saddle (LP-KKT) systems where the start basis
+is structurally singular.
+"""
+
+import numpy as np
+import pytest
+
+from qpn_tpu.ops.lemke import (LEMKE_SUCCESS, lemke_escalate, solve_lemke_batch,
+                               solve_lemke_batch_padded, solve_lemke_np)
+
+
+def nat_res(M, q, l, u, z):
+    F = M @ z + q
+    with np.errstate(invalid="ignore"):
+        proj = np.clip(z - F, l, u)
+    return np.abs(z - proj).max()
+
+
+def random_box_avi(rng, n, kind):
+    R = rng.standard_normal((n, n))
+    if kind == 0:        # strongly monotone PD symmetric
+        M = R @ R.T + np.eye(n) * 0.5
+    elif kind == 1:      # PD nonsymmetric
+        S = rng.standard_normal((n, n))
+        S = S - S.T
+        M = R @ R.T + 0.1 * np.eye(n) + S
+    elif kind == 2:      # monotone, nearly degenerate (PSD + skew + tiny reg)
+        W = rng.standard_normal((n, max(1, n // 2)))
+        S = rng.standard_normal((n, n))
+        S = S - S.T
+        M = W @ W.T + S + 1e-6 * np.eye(n)
+    else:                # diagonally dominant P-matrix
+        M = R * 0.1
+        M[range(n), range(n)] = np.abs(R).sum(1) + 0.5
+    q = rng.standard_normal(n) * 2
+    l = np.full(n, -np.inf)
+    u = np.full(n, np.inf)
+    for i in range(n):
+        c = rng.integers(0, 5)
+        if c == 0:
+            l[i] = rng.standard_normal()
+        elif c == 1:
+            u[i] = rng.standard_normal()
+        elif c == 2:
+            l[i] = rng.standard_normal()
+            u[i] = l[i] + abs(rng.standard_normal())
+        elif c == 3:
+            l[i] = u[i] = rng.standard_normal()   # pinned (equality)
+        # c == 4: free row (equation)
+    return M, q, l, u
+
+
+class TestHostLemke:
+    def test_random_classes(self):
+        rng = np.random.default_rng(0)
+        for trial in range(80):
+            n = int(rng.integers(2, 25))
+            M, q, l, u = random_box_avi(rng, n, trial % 4)
+            z, status, piv = solve_lemke_np(M, q, l, u, tol=1e-9)
+            assert status == LEMKE_SUCCESS, f"trial {trial}: status {status}"
+            assert nat_res(M, q, l, u, z) < 1e-7, f"trial {trial}"
+
+    def test_warm_start_vertex_zero_pivots(self):
+        """A start at a vertex solution terminates without pivoting."""
+        n = 6
+        M = np.eye(n)
+        q = np.full(n, -2.0)
+        l = np.zeros(n)
+        u = np.ones(n)                      # solution: z = u (w = -1 ≤ 0)
+        z, status, piv = solve_lemke_np(M, q, l, u, z0=np.ones(n))
+        assert status == LEMKE_SUCCESS and piv == 0
+        np.testing.assert_allclose(z, 1.0)
+
+    def test_warm_start_still_solves(self):
+        rng = np.random.default_rng(3)
+        M, q, l, u = random_box_avi(rng, 12, 0)
+        z, status, piv = solve_lemke_np(M, q, l, u)
+        z2, status2, piv2 = solve_lemke_np(M, q, l, u, z0=z)
+        assert status2 == LEMKE_SUCCESS
+        assert nat_res(M, q, l, u, z2) < 1e-7
+
+    def test_all_equations_linear_system(self):
+        """Free-everywhere AVI is just the linear system M z = -q."""
+        rng = np.random.default_rng(4)
+        n = 8
+        M = rng.standard_normal((n, n)) + 3 * np.eye(n)
+        q = rng.standard_normal(n)
+        l = np.full(n, -np.inf)
+        u = np.full(n, np.inf)
+        z, status, piv = solve_lemke_np(M, q, l, u)
+        assert status == LEMKE_SUCCESS
+        np.testing.assert_allclose(M @ z + q, 0.0, atol=1e-8)
+
+    def test_unsolvable_avi_detected_by_audit(self):
+        """M=−I, q=0, l=1, u=∞ has NO solution (needs z at a +∞ bound).
+
+        With synthetic big-M boxes the pivot path terminates at a spurious
+        boundary solution instead of a ray; the contract is that the
+        *true-bounds* natural-residual audit rejects it — exactly how
+        lemke_escalate decides acceptance."""
+        n = 3
+        M = -np.eye(n)
+        q = np.zeros(n)
+        l = np.ones(n)
+        u = np.full(n, np.inf)
+        z, status, piv = solve_lemke_np(M, q, l, u)
+        assert nat_res(M, q, l, u, z) > 1e-3   # audit must reject
+
+
+class TestBatchedLemke:
+    def test_matches_host_oracle(self):
+        rng = np.random.default_rng(1)
+        n, B = 14, 32
+        data = [random_box_avi(rng, n, b % 4) for b in range(B)]
+        M = np.stack([d[0] for d in data])
+        q = np.stack([d[1] for d in data])
+        l = np.stack([d[2] for d in data])
+        u = np.stack([d[3] for d in data])
+        z0 = np.zeros((B, n))
+        mask = np.ones((B, n), dtype=bool)
+        mask[0, 10:] = False       # exercise padding lanes
+        mask[1, 8:] = False
+        z, status, piv = map(np.asarray,
+                             solve_lemke_batch(M, q, l, u, z0, mask))
+        for b in range(B):
+            Mb = np.where(np.outer(mask[b], mask[b]), M[b], np.eye(n))
+            qb = np.where(mask[b], q[b], 0.0)
+            lb = np.where(mask[b], l[b], 0.0)
+            ub = np.where(mask[b], u[b], 0.0)
+            assert status[b] == LEMKE_SUCCESS, f"lane {b}: {status[b]}"
+            assert nat_res(Mb, qb, lb, ub, z[b]) < 1e-7, f"lane {b}"
+            assert np.all(z[b][~mask[b]] == 0.0)
+
+    def test_padded_wrapper(self):
+        rng = np.random.default_rng(2)
+        n, B = 11, 5           # awkward shapes force bucket padding
+        data = [random_box_avi(rng, n, k) for k in range(B)]
+        M = np.stack([d[0] for d in data])
+        q = np.stack([d[1] for d in data])
+        l = np.stack([d[2] for d in data])
+        u = np.stack([d[3] for d in data])
+        z, status, piv = solve_lemke_batch_padded(
+            M, q, l, u, np.zeros((B, n)), np.ones((B, n), dtype=bool))
+        assert z.shape == (B, n)
+        for b in range(B):
+            assert status[b] == LEMKE_SUCCESS
+            assert nat_res(M[b], q[b], l[b], u[b], z[b]) < 1e-7
+
+
+class TestProximalEscalation:
+    def test_saddle_kkt_system(self):
+        """LP-KKT saddle AVI: zero free/free block → singular start basis;
+        the δ-proximal tier must still crack it to 1e-10."""
+        rng = np.random.default_rng(5)
+        for trial in range(10):
+            nx, m = 6, 4
+            A = rng.standard_normal((m, nx))
+            c = rng.standard_normal(nx)
+            b_lo = -np.abs(rng.standard_normal(m)) - 1.0
+            b_hi = np.abs(rng.standard_normal(m)) + 1.0
+            # KKT of  min c'x  s.t. b_lo <= A x <= b_hi,  x in [-5, 5]:
+            #   rows x:  c - A'λ ⟂ -5 ≤ x ≤ 5
+            #   rows λ:  A x     ⟂ b_lo ≤ Ax ≤ b_hi  → slack form
+            n = nx + 2 * m
+            M = np.zeros((n, n))
+            M[:nx, nx:nx + m] = -A.T
+            M[nx:nx + m, :nx] = A
+            M[nx:nx + m, nx + m:] = -np.eye(m)
+            M[nx + m:, nx:nx + m] = np.eye(m)
+            q = np.concatenate([c, np.zeros(2 * m)])
+            l = np.concatenate([np.full(nx, -5.0), np.full(m, -np.inf), b_lo])
+            u = np.concatenate([np.full(nx, 5.0), np.full(m, np.inf), b_hi])
+            z0 = np.zeros(n)
+            z, r = lemke_escalate(M[None], q[None], l[None], u[None],
+                                  z0[None], np.ones((1, n), dtype=bool),
+                                  tol=1e-10)
+            assert r[0] <= 1e-9, f"trial {trial}: resid {r[0]:.2e}"
+
+    def test_escalate_leaves_converged_lanes_alone(self):
+        rng = np.random.default_rng(6)
+        M, q, l, u = random_box_avi(rng, 10, 0)
+        z, status, _ = solve_lemke_np(M, q, l, u)
+        zs = np.stack([z, np.zeros(10)])
+        Ms = np.stack([M, M])
+        qs = np.stack([q, q])
+        ls = np.stack([l, l])
+        us = np.stack([u, u])
+        zo, ro = lemke_escalate(Ms, qs, ls, us, zs,
+                                np.ones((2, 10), dtype=bool), tol=1e-9)
+        np.testing.assert_allclose(zo[0], z)     # untouched
+        assert ro[1] <= 1e-9                     # solved
