@@ -18,8 +18,11 @@ import numpy as np
 
 
 def main():
+    import os
     import jax
 
+    if os.environ.get("QPN_BENCH_CPU"):     # debug/CI runs off-chip
+        jax.config.update("jax_platforms", "cpu")
     # Prefer the real TPU; fall back to CPU if the TPU platform is absent or
     # wedged (this image's axon tunnel can wedge on stale chip claims).
     backend = jax.devices()[0].platform
@@ -79,12 +82,35 @@ def main():
     t_seq = (time.perf_counter() - t0) / K
     seq_throughput = 1.0 / t_seq
 
+    # ---- MFU / roofline accounting --------------------------------------
+    # Analytic flop count of the work actually executed (ADMM iterations per
+    # lane as reported by the solver; the Newton polish tail is excluded, so
+    # this is a slight lower bound on useful flops).  f64 has no native MXU
+    # rate — emulated f64 work is reported against the f32 peak, which makes
+    # the MFU figure conservative.  These small dense solves are latency/
+    # bandwidth bound; the hbm fraction shows the binding roofline.
+    from qpn_tpu.utils.flops import (V5E_HBM_GBS, V5E_PEAK_F32, admm_bytes,
+                                     admm_flops)
+    extra = {}
+    if structure is not None:
+        nd, m = structure["nd"], structure["m"]
+        it = np.asarray(res.iters, dtype=np.float64)
+        fl = admm_flops(nd, m, it)
+        by = admm_bytes(nd, m, it)
+        achieved = fl / t_batch
+        extra = {
+            "achieved_gflops": round(achieved / 1e9, 2),
+            "mfu_vs_f32_peak": round(achieved / V5E_PEAK_F32, 6),
+            "hbm_bw_frac": round((by / t_batch) / V5E_HBM_GBS, 4),
+        }
+
     print(json.dumps({
         "metric": f"avi_kkt_solves_per_sec_per_chip[{backend},batch={S},"
                   f"conv={conv:.2f}]",
         "value": round(throughput, 2),
         "unit": "solves/s",
         "vs_baseline": round(throughput / seq_throughput, 2),
+        **extra,
     }))
 
 

@@ -24,6 +24,112 @@ from .poly import Poly
 from . import setops
 
 
+#: combinatorial budget for exhaustive enumeration: C(#facets, dim) above
+#: this falls back to LP sampling (METRICS counter ``verts_sampled_fallback``)
+EXHAUSTIVE_LIMIT = 200_000
+
+
+def _affine_basis(p: Poly, impl: np.ndarray, tol: float = 1e-9):
+    """Parameterize the implicit-equality affine hull: x = x0 + Z y.
+
+    Returns (x0, Z, keep_rows) or None when the equality system is
+    inconsistent.  ``keep_rows`` masks the non-implicit rows."""
+    n = p.dim
+    if impl.any():
+        Aeq = p.A[impl]
+        beq = 0.5 * (p.l[impl] + p.u[impl])
+        x0, res, rank, sv = np.linalg.lstsq(Aeq, beq, rcond=None)
+        if np.abs(Aeq @ x0 - beq).max(initial=0.0) > 1e-6:
+            return None
+        # nullspace via SVD
+        _, s, vt = np.linalg.svd(Aeq, full_matrices=True)
+        r = int((s > max(tol, s[0] * 1e-10 if s.size else 0)).sum())
+        Z = vt[r:].T
+    else:
+        x0 = np.zeros(n)
+        Z = np.eye(n)
+    return x0, Z, ~impl
+
+
+def get_verts_exhaustive(p: Poly, impl: np.ndarray = None, tol: float = 1e-6):
+    """ALL vertices of the closed polyhedron ``p`` by basis enumeration.
+
+    The cdd-completeness replacement (sets.jl:439-451): every vertex is the
+    unique solution of ``k`` linearly independent active facets in the
+    ``k``-dimensional affine hull.  Enumerate k-subsets of candidate facet
+    hyperplanes, solve all the k×k systems as one stacked LAPACK call, keep
+    the feasible ones, dedupe at the reference's 5-digit precision.
+
+    Returns a list of vertices, or None when the combinatorial budget
+    C(#facets, k) exceeds EXHAUSTIVE_LIMIT (caller falls back to sampling).
+    """
+    from itertools import combinations
+    from math import comb
+
+    n = p.dim
+    if impl is None:
+        impl = np.isclose(p.l, p.u, atol=1e-4)
+    ab = _affine_basis(p, impl)
+    if ab is None:
+        return []                      # inconsistent equalities: empty
+    x0, Z, keep = ab
+    k = Z.shape[1]
+    if k == 0:
+        return [x0] if p.contains(x0, tol=1e-4) else []
+
+    # candidate facet hyperplanes in y-space: each finite bound of each
+    # non-implicit row contributes (a_y, b) with a_y = A_i Z
+    Ay = p.A[keep] @ Z
+    off = p.A[keep] @ x0
+    lr = p.l[keep] - off
+    ur = p.u[keep] - off
+    cand_a, cand_b = [], []
+    for i in range(Ay.shape[0]):
+        nrm = np.linalg.norm(Ay[i])
+        if nrm < 1e-12:
+            continue
+        if np.isfinite(lr[i]):
+            cand_a.append(Ay[i])
+            cand_b.append(lr[i])
+        if np.isfinite(ur[i]) and not np.isclose(lr[i], ur[i], atol=1e-12):
+            cand_a.append(Ay[i])
+            cand_b.append(ur[i])
+    Mfac = len(cand_a)
+    if Mfac < k:
+        return []                      # unbounded in some direction: no verts
+    if comb(Mfac, k) > EXHAUSTIVE_LIMIT:
+        return None
+    cand_a = np.array(cand_a)
+    cand_b = np.array(cand_b)
+
+    combos = np.array(list(combinations(range(Mfac), k)), dtype=np.int64)
+    Asys = cand_a[combos]                      # (C, k, k)
+    bsys = cand_b[combos]                      # (C, k)
+    # mask singular bases via determinant magnitude (scaled)
+    det = np.abs(np.linalg.det(Asys))
+    row_sc = np.maximum(np.linalg.norm(Asys, axis=2).prod(axis=1), 1e-30)
+    ok = det > 1e-9 * row_sc
+    if not ok.any():
+        return []
+    Y = np.full((len(combos), k), np.nan)
+    Y[ok] = np.linalg.solve(Asys[ok], bsys[ok][..., None])[..., 0]
+    # feasibility of every candidate against all rows (vectorized)
+    vals = Y @ Ay.T                            # (C, m)
+    feas = ok & np.all(
+        (vals >= np.where(np.isfinite(lr), lr, -np.inf)[None, :] - 1e-6) &
+        (vals <= np.where(np.isfinite(ur), ur, np.inf)[None, :] + 1e-6),
+        axis=1)
+    verts = []
+    seen = set()
+    for y in Y[feas]:
+        x = x0 + Z @ y
+        key = tuple(np.round(x, 5))
+        if key not in seen:
+            seen.add(key)
+            verts.append(x)
+    return verts
+
+
 def get_verts_batch(polys, rng: np.random.Generator = None,
                     num_samples: int = None, tol: float = 1e-6):
     """Vertex sampling for MANY polys at once: all emptiness checks, implicit
@@ -34,15 +140,34 @@ def get_verts_batch(polys, rng: np.random.Generator = None,
         rng = np.random.default_rng(0)
     if not polys:
         return []
+    from ..utils.metrics import METRICS
     empty, examples = setops.exemplar_batch(polys)
-    # batched implicit-equality detection for intrinsic dim
-    impl_list = []
-    todo_polys, todo_dirs, owners = [], [], []
+    results = [None] * len(polys)
+    # complete enumeration first (cdd parity, sets.jl:439-451): needs only
+    # the cheap l==u equality detection — support-function implicit-bound
+    # LPs are skipped entirely for exhaustively enumerable slices (the
+    # common case), which removes 2m LP solves per piece from the hot path
+    fallback = []
     for pi, p in enumerate(polys):
-        impl = np.zeros(p.m, dtype=bool)
-        vals_close = np.isclose(p.l, p.u, atol=1e-4)
-        impl[vals_close] = True
-        impl_list.append(impl)
+        if empty[pi]:
+            results[pi] = "empty"
+            continue
+        impl0 = np.isclose(p.l, p.u, atol=1e-4)
+        V = get_verts_exhaustive(p, impl0, tol)
+        if V is not None:
+            METRICS.bump("verts_exhaustive")
+            if not V and examples[pi] is not None:
+                V = [np.asarray(examples[pi])]
+            results[pi] = (V, [], [])
+        else:
+            fallback.append(pi)
+    # batched implicit-equality detection for intrinsic dim (fallback only)
+    impl_list = {}
+    todo_polys, todo_dirs, owners = [], [], []
+    for pi in fallback:
+        p = polys[pi]
+        impl = np.isclose(p.l, p.u, atol=1e-4)
+        impl_list[pi] = impl
         for i in range(p.m):
             if not impl[i]:
                 todo_polys += [p, p]
@@ -58,16 +183,14 @@ def get_verts_batch(polys, rng: np.random.Generator = None,
                 impl_list[pi][i] = True
     # batched random-objective vertex LPs
     q_polys, q_dirs, q_owner = [], [], []
-    results = [None] * len(polys)
-    for pi, p in enumerate(polys):
-        if empty[pi]:
-            results[pi] = "empty"
-            continue
+    for pi in fallback:
+        p = polys[pi]
         Aim = p.A[impl_list[pi]]
         ridim = int(np.linalg.matrix_rank(Aim)) if Aim.size else 0
         if p.dim - ridim == 0:
             results[pi] = ([np.asarray(examples[pi])], [], [])
             continue
+        METRICS.bump("verts_sampled_fallback")
         n = p.dim
         ns = num_samples or max(2 * n, 8)
         dirs = np.vstack([rng.standard_normal((ns, n)), np.eye(n), -np.eye(n)])
@@ -144,6 +267,12 @@ def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
     idim = setops.intrinsic_dim(p)
     if idim == 0:
         return [np.asarray(example[0])], [], []
+
+    V = get_verts_exhaustive(p, tol=tol)
+    if V is not None:
+        if not V and example[0] is not None:
+            V = [np.asarray(example[0])]
+        return V, [], []
 
     dirs = rng.standard_normal((num_samples, n))
     # include +-coordinate directions for coverage of axis-aligned faces
