@@ -89,14 +89,15 @@ def main():
     # rate — emulated f64 work is reported against the f32 peak, which makes
     # the MFU figure conservative.  These small dense solves are latency/
     # bandwidth bound; the hbm fraction shows the binding roofline.
-    from qpn_tpu.utils.flops import (V5E_HBM_GBS, V5E_PEAK_F32, admm_bytes,
-                                     admm_flops)
+    from qpn_tpu.utils.flops import (V5E_HBM_GBS, V5E_PEAK_F32, lemke_flops)
     extra = {}
     if structure is not None:
-        nd, m = structure["nd"], structure["m"]
+        # structured route = batched Lemke pivoting: iters are pivot counts,
+        # each pivot touches the (n, 3n+2) tableau once
+        n_avi = M.shape[1]
         it = np.asarray(res.iters, dtype=np.float64)
-        fl = admm_flops(nd, m, it)
-        by = admm_bytes(nd, m, it)
+        fl = lemke_flops(n_avi, it)
+        by = 8.0 * float(np.sum(it)) * n_avi * (3 * n_avi + 2) * 2
         achieved = fl / t_batch
         extra = {
             "achieved_gflops": round(achieved / 1e9, 2),

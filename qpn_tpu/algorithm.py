@@ -271,15 +271,13 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
 #  process_qp — qp_processing.jl:151-241
 # --------------------------------------------------------------------------
 
-def process_qp(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion],
-               exploration_vertices: int = 0,
-               rng: Optional[np.random.Generator] = None):
+def _prepare_qp_tasks(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion]):
+    """Phase 1 of process_qp: build the (qp, constraints, dec_inds)
+    verification tasks for every child-piece combination of one node."""
     qp = qpn.qps[pid]
     base_constraints = [qpn.constraints[c].poly for c in qp.constraint_indices]
     dec_inds = qpn.decision_inds(pid)
     check_convexity = qpn.options.check_convexity
-    gen_solution_graphs = (pid not in qpn.network_depth_map[1]) \
-        or qpn.options.gen_solution_map
 
     child_inds = sorted(qpn.network_edges[pid])
     if child_inds:
@@ -296,24 +294,77 @@ def process_qp(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion],
             base_u = (np.concatenate([c.u for c in base_constraints])
                       if base_constraints else np.zeros(0))
             check_qp_convexity(qp.f.Q, base_A, base_l, base_u, dec_inds, pid)
-        # verify ALL child-piece combinations as one batched kernel call
         combo_constraints = []
         for combo in combos:
             children_polys = [S[j][ji] for j, ji in zip(child_inds, combo)]
             combo_constraints.append(base_constraints + children_polys)
-        verifies = verify_solutions_batch(
-            [(qp, cons, dec_inds) for cons in combo_constraints], x)
+        tasks = [(qp, cons, dec_inds) for cons in combo_constraints]
+    else:
+        combos = [()]
+        combo_constraints = [base_constraints]
+        tasks = [(qp, base_constraints, dec_inds)]
+        if check_convexity:
+            base_A = (np.vstack([c.A for c in base_constraints])
+                      if base_constraints else np.zeros((0, len(x))))
+            base_l = (np.concatenate([c.l for c in base_constraints])
+                      if base_constraints else np.zeros(0))
+            base_u = (np.concatenate([c.u for c in base_constraints])
+                      if base_constraints else np.zeros(0))
+            check_qp_convexity(qp.f.Q, base_A, base_l, base_u, dec_inds, pid)
+    return SimpleNamespace(qp=qp, base_constraints=base_constraints,
+                           dec_inds=dec_inds, child_inds=child_inds,
+                           combos=combos, combo_constraints=combo_constraints,
+                           tasks=tasks)
+
+
+def _finish_process_qp(qpn: QPNet, pid: int, x, prep, verifies,
+                       exploration_vertices: int = 0,
+                       rng: Optional[np.random.Generator] = None):
+    """Phase 2 of process_qp: consume verification results, generate and
+    combine the per-combo solution graphs (qp_processing.jl:188-224)."""
+    qp = prep.qp
+    gen_solution_graphs = (pid not in qpn.network_depth_map[1]) \
+        or qpn.options.gen_solution_map
+    if prep.child_inds:
         results = []
-        for combo, appended, ret in zip(combos, combo_constraints, verifies):
+        failing = []          # every non-vacuous failing combo, in order
+        first_err = None
+        for combo, appended, ret in zip(prep.combos, prep.combo_constraints,
+                                        verifies):
             if not ret.solution:
-                assignments = {j: ji for j, ji in zip(child_inds, combo)}
-                return SimpleNamespace(solution=False, e=ret.e, failed=False,
-                                       subpiece_assignments=assignments, S=None)
+                # Vacuous-combo guard (deliberate robustness upgrade over
+                # qp_processing.jl:186-190): a child-piece combination whose
+                # region is EMPTY at the current parameters contributes
+                # nothing to S = ⋃ₚ ⋂ᵢ Zᵢᵖ, so "x is not optimal under it"
+                # is vacuous.  The reference forwards such combos to the QEP
+                # assembler, building an infeasible GAVI that kills PATH
+                # ("unbounded or ill-conditioned", avi.jl:413-427) — the
+                # observed robust_avoid_simple num_obj=3 failure mode.
+                if ret.e and "infeasible" in str(ret.e) \
+                        and _combo_region_vacuous(prep, appended, x):
+                    METRICS.bump("vacuous_combos")
+                    continue
+                failing.append({j: ji
+                                for j, ji in zip(prep.child_inds, combo)})
+                if first_err is None:
+                    first_err = ret.e
+        if failing:
+            # reference behavior: report the first failing combo; the
+            # alternates let the caller retry when its QEP turns out
+            # unsolvable (robustness upgrade, see solve_base)
+            return SimpleNamespace(solution=False, e=first_err, failed=False,
+                                   subpiece_assignments=failing[0],
+                                   alternate_assignments=failing[1:], S=None)
+        for combo, appended, ret in zip(prep.combos, prep.combo_constraints,
+                                        verifies):
+            if not ret.solution:
+                continue      # vacuous combos contribute no graph
             if gen_solution_graphs:
-                children_polys = appended[len(base_constraints):]
+                children_polys = appended[len(prep.base_constraints):]
                 gen = process_solution_graph(
-                    qp, appended, dec_inds, x, ret.lam,
-                    exploration_vertices=exploration_vertices, rng=rng)
+                    qp, appended, prep.dec_inds, x, ret.lam,
+                    exploration_vertices=exploration_vertices, rng=rng,
+                    frontier_store=getattr(qpn, "frontier_store", None))
                 graph = setops.remove_subsets(PolyUnion(gen.collect()))
                 results.append((children_polys, graph))
         if gen_solution_graphs:
@@ -325,15 +376,15 @@ def process_qp(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion],
         else:
             S_out = None
     else:
-        ret = verify_solution(qp, pid, base_constraints, dec_inds, x,
-                              check_convexity)
+        ret = verifies[0]
         if not ret.solution:
             return SimpleNamespace(solution=False, e=ret.e, failed=False,
                                    subpiece_assignments={}, S=None)
         if gen_solution_graphs:
             gen = process_solution_graph(
-                qp, base_constraints, dec_inds, x, ret.lam,
-                exploration_vertices=exploration_vertices, rng=rng)
+                qp, prep.base_constraints, prep.dec_inds, x, ret.lam,
+                exploration_vertices=exploration_vertices, rng=rng,
+                frontier_store=getattr(qpn, "frontier_store", None))
             S_out = PolyUnion(gen.collect())
             if len(S_out) == 0:
                 raise RuntimeError(
@@ -342,6 +393,50 @@ def process_qp(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion],
             S_out = None
     return SimpleNamespace(solution=True, S=S_out, failed=False, e=None,
                            subpiece_assignments={})
+
+
+def _combo_region_vacuous(prep, appended_constraints, x) -> bool:
+    """True iff the combo's constraint region, with the node's non-decision
+    coordinates pinned at their current values, is empty."""
+    region = intersect(*appended_constraints) if appended_constraints else None
+    if region is None:
+        return False
+    x = np.asarray(x, dtype=np.float64)
+    spec = x.copy()
+    spec[list(prep.dec_inds)] = np.nan        # decisions stay free
+    sliced = region.poly_slice(spec)
+    return bool(setops.is_empty(sliced.closure()))
+
+
+def process_qp(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion],
+               exploration_vertices: int = 0,
+               rng: Optional[np.random.Generator] = None):
+    prep = _prepare_qp_tasks(qpn, pid, x, S)
+    verifies = verify_solutions_batch(prep.tasks, x)
+    return _finish_process_qp(qpn, pid, x, prep, verifies,
+                              exploration_vertices, rng)
+
+
+def process_qps_level(qpn: QPNet, players, x, S: Dict[int, PolyUnion],
+                      exploration_vertices: int = 0,
+                      rng: Optional[np.random.Generator] = None):
+    """Level-wide node-parallel verification (SURVEY §2.3 row 1).
+
+    The reference maps process_qp over players serially (algorithm.jl:44-52);
+    here the (players × child-piece-combos) KKT verifications of an entire
+    level fuse into ONE batched kernel call, and only the graph-generation
+    phase (already kernel-batched internally) runs per node."""
+    preps = [_prepare_qp_tasks(qpn, pid, x, S) for pid in players]
+    flat_tasks = [t for p in preps for t in p.tasks]
+    flat_verifies = verify_solutions_batch(flat_tasks, x)
+    out = []
+    k = 0
+    for pid, prep in zip(players, preps):
+        v = flat_verifies[k:k + len(prep.tasks)]
+        k += len(prep.tasks)
+        out.append(_finish_process_qp(qpn, pid, x, prep, v,
+                                      exploration_vertices, rng))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -378,31 +473,40 @@ def _combine(regions, solutions, x):
 
 
 def intersection_iter(pus: List[PolyUnion], red_lengths, central_point):
-    """Lazy DFS over the product of unions with pruning
-    (intersection.jl:55-151): a branch dies as soon as the partial
-    intersection misses the central point's closure or is empty; the
-    all-complements leaf combination (red zone) is excluded."""
+    """Product-of-unions iteration with pruning (intersection.jl:55-151): a
+    branch dies as soon as the partial intersection misses the central
+    point's closure or is empty; the all-complements leaf combination (red
+    zone) is excluded.
+
+    The reference walks this tree depth-first with one emptiness LP per node;
+    here each depth expands level-synchronously so ALL surviving branches'
+    emptiness checks fuse into one batched kernel call.  The explored node
+    set and the emitted leaf order are identical to the DFS (pruning is
+    per-node, traversal-order independent; leaves are emitted in
+    lexicographic index order)."""
     N = len(pus)
     full = [len(pu) for pu in pus]
     central = np.asarray(central_point, dtype=np.float64)
 
-    def rec(depth, parent_poly, idxs):
-        if depth == N:
-            redzone = all(idx >= full[d] - red_lengths[d]
-                          for d, idx in enumerate(idxs))
-            if not redzone:
-                yield parent_poly
+    frontier = [(None, ())]          # (partial intersection, index tuple)
+    for depth in range(N):
+        cands = []
+        for parent_poly, idxs in frontier:
+            for i, p in enumerate(pus[depth].polys):
+                cur = p if parent_poly is None else intersect(parent_poly, p)
+                METRICS.bump("intersection_nodes")
+                if cur.closure().contains(central, tol=1e-6):
+                    cands.append((cur, idxs + (i,)))
+        if not cands:
             return
-        for i, p in enumerate(pus[depth].polys):
-            cur = p if parent_poly is None else intersect(parent_poly, p)
-            METRICS.bump("intersection_nodes")
-            if not cur.closure().contains(central, tol=1e-6):
-                continue
-            if setops.is_empty(cur):
-                continue
-            yield from rec(depth + 1, cur, idxs + [i])
+        empty = setops.is_empty_batch([c[0] for c in cands])
+        frontier = [c for c, e in zip(cands, empty) if not e]
 
-    yield from rec(0, None, [])
+    for poly, idxs in frontier:
+        redzone = all(idx >= full[d] - red_lengths[d]
+                      for d, idx in enumerate(idxs))
+        if not redzone:
+            yield poly
 
 
 # --------------------------------------------------------------------------
@@ -705,11 +809,10 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
             players = sorted(qpn.network_depth_map[level])
             child_level_players = sorted(
                 set().union(*[qpn.network_edges[i] for i in players]))
-            results = [
-                process_qp(qpn, pid, x, S,
-                           exploration_vertices=qpn.options.exploration_vertices,
-                           rng=rng)
-                for pid in players]
+            results = process_qps_level(
+                qpn, players, x, S,
+                exploration_vertices=qpn.options.exploration_vertices,
+                rng=rng)
 
             equilibrium = True
             subpiece_assignments = {i: S[i][0] for i in child_level_players}
@@ -739,19 +842,42 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
             if not equilibrium:
                 logger.debug("No equilibrium at level %d; QEP with subpieces "
                              "%s", level, subpiece_ids)
-                try:
-                    xnew = solve_qep(qpn, players, x, subpiece_assignments)
-                    if np.linalg.norm(xnew - x) < 1e-4:
-                        raise RuntimeError(
-                            "Detected disagreement in solution status between "
-                            "qp solution processor and equilibrium solver.\n"
-                            "Check the convexity and conditioning of your QPs.")
-                    x = xnew
-                    METRICS.bump("equilibrium_steps")
-                    if qpn.options.debug_visualize:
-                        qpn.visualization_function(x)
-                except RuntimeError:
-                    raise
+                # Robustness upgrade over algorithm.jl:91-109: if the QEP
+                # assembled from the primary failing combo is unsolvable
+                # (e.g. its region is empty at the current ancestors — the
+                # reference dies in PATH here), retry with the players'
+                # alternate failing combos before giving up.
+                candidates = [subpiece_assignments]
+                for pid, r in zip(players, results):
+                    if r.solution or level >= qpn.num_levels():
+                        continue
+                    for alt in getattr(r, "alternate_assignments", [])[:4]:
+                        cand = dict(subpiece_assignments)
+                        for child_id, sp_id in alt.items():
+                            cand[child_id] = S[child_id][sp_id]
+                        candidates.append(cand)
+                last_err = None
+                xnew = None
+                for ci, cand in enumerate(candidates[:8]):
+                    try:
+                        xnew = solve_qep(qpn, players, x, cand)
+                        if ci > 0:
+                            METRICS.bump("qep_alternate_combo")
+                        break
+                    except RuntimeError as err:
+                        last_err = err
+                        continue
+                if xnew is None:
+                    raise last_err
+                if np.linalg.norm(xnew - x) < 1e-4:
+                    raise RuntimeError(
+                        "Detected disagreement in solution status between "
+                        "qp solution processor and equilibrium solver.\n"
+                        "Check the convexity and conditioning of your QPs.")
+                x = xnew
+                METRICS.bump("equilibrium_steps")
+                if qpn.options.debug_visualize:
+                    qpn.visualization_function(x)
                 continue
             else:
                 if level == 1:
@@ -781,6 +907,9 @@ def solve(qpn: QPNet, x_init=None, parent_level_request=frozenset(),
         x_init = qpn.default_initialization
     if rng is None:
         rng = np.random.default_rng(seed)
+    if checkpoint_path is not None:
+        from .utils.checkpoint import FrontierStore
+        qpn.frontier_store = FrontierStore(str(checkpoint_path) + ".frontiers")
     METRICS.reset()
     qpn.metrics = METRICS
     with METRICS.timer("solve"):

@@ -57,6 +57,15 @@ class NumericConfig:
     # None = auto (enabled on the TPU backend, where the fused f32 kernel is
     # nearly free and the f64 LP is emulated).
     use_pallas_screen: bool | None = None
+    # Engine for pure LPs (support / emptiness / membership queries):
+    # "admm" (default) = the first-order OSQP-style kernel — its
+    # interior-ish selection among alternative optima matches the
+    # reference's OSQP trajectories; "lemke" = exact complementary pivoting
+    # on the LP KKT (tens of pivots, exact duals, uncertified lanes fall
+    # back to ADMM) — faster per query but returns optimal *vertices*,
+    # which can steer degenerate enumeration paths differently;
+    # "check" = run both and log disagreements (engine cross-validation).
+    lp_engine: str = "admm"
 
 
 def pallas_screen_enabled() -> bool:

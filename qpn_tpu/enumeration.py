@@ -317,7 +317,8 @@ class LocalGAVISolutions:
     def __init__(self, gavi: GAVI, z, w, level: int, subpiece_index: int,
                  decision_inds, param_inds, request=frozenset(),
                  max_vertices: int = 2 ** 62,
-                 rng: Optional[np.random.Generator] = None):
+                 rng: Optional[np.random.Generator] = None,
+                 frontier_store=None):
         self.gavi = gavi
         self.z = np.asarray(z, dtype=np.float64)
         self.w = np.asarray(w, dtype=np.float64)
@@ -337,6 +338,71 @@ class LocalGAVISolutions:
         self.explored_vertices: Set[Tuple[float, ...]] = {
             quantize(np.concatenate([self.z, self.w]))}
         self.polys: Set[Poly] = set()
+        # mid-enumeration checkpointing (SURVEY §5): a killed enumeration
+        # resumes its piece discovery instead of restarting from scratch
+        self.frontier_store = frontier_store
+        self._fkey = None
+        if frontier_store is not None:
+            self._fkey = self._frontier_key()
+            state = frontier_store.load(self._fkey)
+            if state is not None:
+                self._restore_frontier(state)
+
+    # -- frontier checkpoint/resume ---------------------------------------
+    def _frontier_key(self) -> str:
+        import hashlib
+        h = hashlib.sha1()
+        for a in (self.gavi.M, self.gavi.N, self.gavi.o, self.gavi.l1,
+                  self.gavi.u1, self.gavi.A, self.gavi.B, self.gavi.l2,
+                  self.gavi.u2):
+            h.update(np.round(np.asarray(a, dtype=np.float64), 9).tobytes())
+        h.update(np.asarray(quantize(self.z)).tobytes())
+        h.update(np.asarray(quantize(self.w)).tobytes())
+        h.update(bytes([self.level & 0xFF, self.subpiece_index & 0xFF]))
+        return h.hexdigest()[:16]
+
+    def frontier_state(self) -> dict:
+        """Serializable snapshot of the enumeration frontier.
+
+        Projected pieces are stored as dense H-reps; provenance parents are
+        dropped (they matter only to the dormant requests flow)."""
+        L = self.gavi.d1 + self.gavi.d2
+        nm = len(self.z) + len(self.w)
+
+        def karr(ks):
+            return (np.array(sorted(ks), dtype=np.int32).reshape(-1, L)
+                    if ks else np.zeros((0, L), dtype=np.int32))
+
+        def varr(vs):
+            return (np.array(sorted(vs), dtype=np.float64).reshape(-1, nm)
+                    if vs else np.zeros((0, nm)))
+
+        polys = []
+        for p in self.polys:
+            polys.append(dict(A=p.A, l=p.l, u=p.u, sl=p.strict_l,
+                              su=p.strict_u))
+        return dict(unexplored_Ks=karr(self.unexplored_Ks),
+                    explored_Ks=karr(self.explored_Ks),
+                    unexplored_vertices=varr(self.unexplored_vertices),
+                    explored_vertices=varr(self.explored_vertices),
+                    polys=polys)
+
+    def _restore_frontier(self, state: dict):
+        self.unexplored_Ks = {tuple(int(v) for v in row)
+                              for row in state["unexplored_Ks"]}
+        self.explored_Ks = {tuple(int(v) for v in row)
+                            for row in state["explored_Ks"]}
+        self.unexplored_vertices = {tuple(row)
+                                    for row in state["unexplored_vertices"]}
+        self.explored_vertices = {tuple(row)
+                                  for row in state["explored_vertices"]}
+        self.polys = {Poly(d["A"], d["l"], d["u"], d["sl"], d["su"],
+                           normalize=False)
+                      for d in state["polys"]}
+
+    def _checkpoint(self):
+        if self.frontier_store is not None:
+            self.frontier_store.save(self._fkey, self.frontier_state())
 
     # -- expansion ---------------------------------------------------------
     def _expand_batch(self, Ks: Sequence[Recipe]):
@@ -405,12 +471,15 @@ class LocalGAVISolutions:
             METRICS.bump("vertices_explored")
 
     def collect(self) -> List[Poly]:
-        """Batch enumeration (avi_solutions.jl:277-293)."""
+        """Batch enumeration (avi_solutions.jl:277-293).  With a frontier
+        store attached, every generation persists the frontier so a killed
+        run resumes where it stopped."""
         while self.unexplored_Ks:
             Ks = list(self.unexplored_Ks)
             self.explored_Ks |= self.unexplored_Ks
             self.unexplored_Ks = set()
             self._absorb(self._expand_batch(Ks))
+            self._checkpoint()
             if not self.unexplored_vertices:
                 break
             self._pull_vertices()
@@ -469,8 +538,8 @@ def unpermute(request, dim: int, var_inds, param_inds):
 
 def process_solution_graph(qp, constraints: Sequence[Poly], dec_inds, x, lam,
                            exploration_vertices: int = 0,
-                           rng: Optional[np.random.Generator] = None
-                           ) -> LocalGAVISolutions:
+                           rng: Optional[np.random.Generator] = None,
+                           frontier_store=None) -> LocalGAVISolutions:
     """Build the single-node parametric KKT GAVI in z=[x_dec; λ], w=x_param::
 
         Q_dd x_d + Q_dp w + q_d − A_d' λ ⟂ −∞ ≤ x_d ≤ ∞
@@ -507,7 +576,7 @@ def process_solution_graph(qp, constraints: Sequence[Poly], dec_inds, x, lam,
         l2=l2, u2=u2)
     return LocalGAVISolutions(gavi, z, w, 0, 0, dec_inds, param_inds,
                               frozenset(), max_vertices=exploration_vertices,
-                              rng=rng)
+                              rng=rng, frontier_store=frontier_store)
 
 
 def get_single_solution(gavi: GAVI, z, w, level, subpiece_index,

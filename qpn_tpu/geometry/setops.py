@@ -278,22 +278,35 @@ def issubset_pairs(pairs, tol: float = 1e-6):
     satisfies min dir·a'x ≥ dir·b − tol.  Matches the reference exactly,
     including its quirk that an *empty* P1 whose support LP reports
     infeasibility yields False."""
-    queries = []          # (pair_idx, dir_vec, bound, poly1)
+    # Deduplicate support queries: in an all-pairs prune the same P1 is
+    # tested against every other member, and members of one solution-map
+    # union share normalized hyperplanes (same GAVI arrangement), so the
+    # distinct (P1, direction) set is FAR smaller than pairs × facets.
+    qkey_to_slot = {}
+    slot_polys, slot_dirs = [], []
+    checks = []           # (pair_idx, slot, bound, sign)
     for pi, (P1, P2) in enumerate(pairs):
         for i in range(P2.m):
-            if np.isfinite(P2.l[i]):
-                queries.append((pi, P2.A[i], P2.l[i], 1.0, P1))
-            if np.isfinite(P2.u[i]):
-                queries.append((pi, -P2.A[i], P2.u[i], -1.0, P1))
+            for d, bound, sgn in (((P2.A[i]), P2.l[i], 1.0),
+                                  ((-P2.A[i]), P2.u[i], -1.0)):
+                if not np.isfinite(bound):
+                    continue
+                key = (id(P1), tuple(np.round(d, 9)))
+                slot = qkey_to_slot.get(key)
+                if slot is None:
+                    slot = len(slot_polys)
+                    qkey_to_slot[key] = slot
+                    slot_polys.append(P1)
+                    slot_dirs.append(d)
+                checks.append((pi, slot, bound, sgn))
     out = np.ones(len(pairs), dtype=bool)
-    if not queries:
+    if not checks:
         return out
-    vals, stat = support_batch([q[4] for q in queries],
-                               [q[1] for q in queries])
-    for (pi, d, bound, sgn, _), v, s in zip(queries, vals, stat):
-        if s not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
+    vals, stat = support_batch(slot_polys, slot_dirs)
+    for pi, slot, bound, sgn in checks:
+        if stat[slot] not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
             out[pi] = False          # unbounded below / infeasible
-        elif v < sgn * bound - tol:
+        elif vals[slot] < sgn * bound - tol:
             out[pi] = False
     return out
 

@@ -370,7 +370,10 @@ def hull_of_points(pts: np.ndarray, tol: float = 1e-6) -> Poly:
             normal = np.ones(1)
         else:
             _, s, vt = np.linalg.svd(Dm, full_matrices=True)
-            if s.size and s[-1] if s.size < d - 1 else False:
+            # the d points must span a unique (d-1)-dim hyperplane: rank of
+            # the difference matrix must be exactly d-1 (degenerate subsets —
+            # collinear triples etc. — would emit spurious facets)
+            if s.size < d - 1 or s[d - 2] < 1e-9 * max(s[0], 1.0):
                 continue
             normal = vt[-1]
         if np.linalg.norm(normal) < tol:

@@ -292,23 +292,72 @@ def solve_qp_batch(P, q, A, l, u, row_mask, *, max_iter=4000, eps=1e-9,
     return jax.vmap(fn)(P, q, A, l, u, row_mask)
 
 
-def solve_qp_batch_padded(P, q, A, l, u, row_mask, **kw):
+def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,
+                          _no_broker=False, _sharding=None, _min_batch=1,
+                          **kw):
     """Bucket-padded batched solve: pads the batch size, row count, and
     variable count up to the configured buckets so repeated calls with ragged
     shapes hit a handful of compiled kernels instead of recompiling
     (config.row_buckets / dim_buckets).  Padded problems are trivial
     (P=I, no rows); padded rows are masked off; padded variables are fixed
-    at 0 by identity P rows with zero q (their solution is 0)."""
+    at 0 by identity P rows with zero q (their solution is 0).
+
+    Pure LPs (P = 0) route to the exact Lemke pivot engine when
+    ``CONFIG.lp_engine == "lemke"`` — tens of pivots instead of thousands of
+    ADMM iterations, exact duals; uncertified lanes fall back here.
+
+    Under a lockstep broker (parallel/lockstep.py) the call parks and fuses
+    with other scenarios' requests; ``_sharding`` device-puts the padded
+    batch with a mesh sharding so XLA partitions the batch axis (dp)."""
     from ..config import bucket, CONFIG
 
+    if not _no_broker:
+        from ..parallel.lockstep import active_broker
+        br = active_broker()
+        if br is not None:
+            return br.submit("qp", P, q, A, l, u, row_mask,
+                             _no_lemke=_no_lemke, **kw)
+
     P = np.asarray(P, dtype=np.float64)
+    if (not _no_lemke and CONFIG.lp_engine in ("lemke", "check")
+            and not kw and P.size and not P.any()):
+        from .lemke import solve_lp_lemke_batch
+        sol = solve_lp_lemke_batch(q, A, l, u, row_mask,
+                                   _sharding=_sharding,
+                                   _min_batch=_min_batch)
+        if CONFIG.lp_engine == "check":      # engine cross-validation mode
+            ref = solve_qp_batch_padded(P, q, A, l, u, row_mask,
+                                        _no_lemke=True)
+            st_l = np.asarray(sol.status)
+            st_r = np.asarray(ref.status)
+            st_mismatch = (st_l != st_r) & ~((st_l == 1) & (st_r == 2))
+            obj_mismatch = (st_l == 1) & (st_r == 1) & (
+                np.abs(np.asarray(sol.obj) - np.asarray(ref.obj))
+                > 1e-5 * (1 + np.abs(np.asarray(ref.obj))))
+            for i in np.nonzero(st_mismatch | obj_mismatch)[0]:
+                print(f"LPCHECK mismatch lane {i}: lemke st={st_l[i]} "
+                      f"obj={np.asarray(sol.obj)[i]:.6g} | admm "
+                      f"st={st_r[i]} obj={np.asarray(ref.obj)[i]:.6g}",
+                      flush=True)
+                import os
+                dump = os.environ.get("QPN_LPCHECK_DUMP")
+                if dump:
+                    k = len([f for f in os.listdir(dump)
+                             if f.startswith("lpmis")])
+                    if k < 8:
+                        np.savez(os.path.join(dump, f"lpmis_{k}.npz"),
+                                 c=np.asarray(q)[i], A=np.asarray(A)[i],
+                                 l=np.asarray(l)[i], u=np.asarray(u)[i],
+                                 mask=np.asarray(row_mask)[i])
+        return sol
     q = np.asarray(q, dtype=np.float64)
     A = np.asarray(A, dtype=np.float64)
     l = np.asarray(l, dtype=np.float64)
     u = np.asarray(u, dtype=np.float64)
     row_mask = np.asarray(row_mask, dtype=bool)
     B, m, n = A.shape
-    Bp = bucket(B, (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
+    Bp = bucket(max(B, _min_batch),
+                (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
     mp = bucket(m, CONFIG.row_buckets)
     np_ = bucket(n, CONFIG.dim_buckets)
 
@@ -327,6 +376,11 @@ def solve_qp_batch_padded(P, q, A, l, u, row_mask, **kw):
     up[:B, :m] = u
     maskp = np.zeros((Bp, mp), dtype=bool)
     maskp[:B, :m] = row_mask
+    if _sharding is not None:
+        import jax
+        Pp, qp_, Ap, lp, up, maskp = (
+            jax.device_put(a, _sharding)
+            for a in (Pp, qp_, Ap, lp, up, maskp))
     sol = solve_qp_batch(Pp, qp_, Ap, lp, up, maskp, **kw)
     return QPSolution(x=sol.x[:B, :n], y=sol.y[:B, :m], z=sol.z[:B, :m],
                       obj=sol.obj[:B], status=sol.status[:B],

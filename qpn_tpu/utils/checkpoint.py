@@ -79,4 +79,56 @@ def resume(qpn, path: str, **solve_kwargs):
     from ..algorithm import solve
     state = load_state(path)
     qpn.iterate_cache.update(state["iterate_cache"])
-    return solve(qpn, state["x"], **solve_kwargs)
+    return solve(qpn, state["x"], checkpoint_path=path, **solve_kwargs)
+
+
+class FrontierStore:
+    """Per-enumerator frontier persistence (SURVEY §5 checkpoint target).
+
+    Each ``LocalGAVISolutions`` enumerator is keyed by a content hash of its
+    GAVI and seed point; every generation of its frontier expansion is
+    persisted as one ``.npz`` under ``dir``.  A resumed solve re-creates the
+    same enumerators (same GAVIs, same iterates), finds their keys here, and
+    continues piece discovery from the stored frontier instead of from
+    scratch."""
+
+    def __init__(self, directory: str):
+        import os
+        self.dir = str(directory)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        import os
+        return os.path.join(self.dir, f"frontier_{key}.npz")
+
+    def save(self, key: str, state: dict):
+        store = {
+            "unexplored_Ks": state["unexplored_Ks"],
+            "explored_Ks": state["explored_Ks"],
+            "unexplored_vertices": state["unexplored_vertices"],
+            "explored_vertices": state["explored_vertices"],
+            "n_polys": np.asarray(len(state["polys"])),
+        }
+        for i, p in enumerate(state["polys"]):
+            for f in ("A", "l", "u", "sl", "su"):
+                store[f"poly_{i}_{f}"] = p[f]
+        tmp = self._path(key) + ".tmp.npz"
+        np.savez_compressed(tmp, **store)
+        import os
+        os.replace(tmp, self._path(key))       # atomic vs mid-write kills
+
+    def load(self, key: str):
+        import os
+        path = self._path(key)
+        if not os.path.exists(path):
+            return None
+        data = np.load(path, allow_pickle=False)
+        polys = []
+        for i in range(int(data["n_polys"])):
+            polys.append({f: data[f"poly_{i}_{f}"]
+                          for f in ("A", "l", "u", "sl", "su")})
+        return dict(unexplored_Ks=data["unexplored_Ks"],
+                    explored_Ks=data["explored_Ks"],
+                    unexplored_vertices=data["unexplored_vertices"],
+                    explored_vertices=data["explored_vertices"],
+                    polys=polys)

@@ -195,3 +195,88 @@ class TestProximalEscalation:
                                 np.ones((2, 10), dtype=bool), tol=1e-9)
         np.testing.assert_allclose(zo[0], z)     # untouched
         assert ro[1] <= 1e-9                     # solved
+
+
+class TestLemkeLPEngine:
+    def test_matches_admm_on_random_lps(self):
+        from qpn_tpu.ops import batch_qp
+        from qpn_tpu.ops.lemke import solve_lp_lemke_batch
+        rng = np.random.default_rng(7)
+        B, m, n = 24, 10, 6
+        A = rng.standard_normal((B, m, n))
+        c = rng.standard_normal((B, n))
+        x0 = rng.standard_normal((B, n))
+        Ax0 = np.einsum("bmn,bn->bm", A, x0)
+        l = Ax0 - np.abs(rng.standard_normal((B, m))) - 0.1
+        u = Ax0 + np.abs(rng.standard_normal((B, m))) + 0.1
+        # make bounded: add box rows |x_i| <= 5 via extra constraints
+        eye = np.tile(np.eye(n)[None], (B, 1, 1))
+        A2 = np.concatenate([A, eye], axis=1)
+        l2 = np.concatenate([l, np.full((B, n), -5.0)], axis=1)
+        u2 = np.concatenate([u, np.full((B, n), 5.0)], axis=1)
+        mask = np.ones((B, m + n), dtype=bool)
+        sol = solve_lp_lemke_batch(c, A2, l2, u2, mask)
+        ref = batch_qp.solve_qp_batch_padded(
+            np.zeros((B, n, n)), c, A2, l2, u2, mask, _no_lemke=True)
+        for b in range(B):
+            assert sol.status[b] == batch_qp.SOLVED
+            assert np.asarray(ref.status)[b] in (batch_qp.SOLVED,
+                                                 batch_qp.SOLVED_INACCURATE)
+            np.testing.assert_allclose(sol.obj[b], np.asarray(ref.obj)[b],
+                                       atol=1e-5)
+            # stationarity with the returned duals: c + A'y = 0
+            g = c[b] + A2[b].T @ np.asarray(sol.y[b])
+            np.testing.assert_allclose(g, 0.0, atol=1e-7)
+
+    def test_detects_unbounded_and_infeasible(self):
+        from qpn_tpu.ops import batch_qp
+        from qpn_tpu.ops.lemke import solve_lp_lemke_batch
+        n = 3
+        # lane 0: unbounded (min x_0, only lower bounds on rows)
+        # lane 1: infeasible (x_0 >= 1 and x_0 <= -1)
+        A = np.zeros((2, 2, n))
+        A[0, 0, 0] = 1.0
+        A[0, 1, 1] = 1.0
+        A[1, 0, 0] = 1.0
+        A[1, 1, 0] = 1.0
+        c = np.zeros((2, n))
+        c[0, 0] = 1.0
+        l = np.array([[-np.inf, -1.0], [1.0, -np.inf]])
+        u = np.array([[5.0, 1.0], [np.inf, -1.0]])
+        mask = np.ones((2, 2), dtype=bool)
+        sol = solve_lp_lemke_batch(c, A, l, u, mask)
+        assert sol.status[0] == batch_qp.DUAL_INFEASIBLE
+        assert sol.status[1] == batch_qp.PRIMAL_INFEASIBLE
+
+
+class TestHullDegeneracy:
+    def test_collinear_cloud_no_spurious_facets(self):
+        from qpn_tpu.geometry.vertices import hull_of_points
+        # square + collinear midpoints: degenerate triples must be skipped
+        pts = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                        [0.5, 0.0], [0.5, 1.0]])
+        h = hull_of_points(pts)
+        # hull is the unit square: 4 facets after simplify; every input
+        # point inside, and exterior points excluded
+        assert h.contains(np.array([0.5, 0.5]), tol=1e-8)
+        for p in pts:
+            assert h.contains(p, tol=1e-6)
+        assert not h.contains(np.array([1.2, 0.5]), tol=1e-6)
+        assert not h.contains(np.array([0.5, -0.2]), tol=1e-6)
+
+
+class TestLemkeLPEngineEndToEnd:
+    def test_lp_engine_optin_end_to_end(self):
+        """The exact-pivot LP engine solves a full model when opted in."""
+        import qpn_tpu as qt
+        from qpn_tpu.config import CONFIG
+        old = CONFIG.lp_engine
+        CONFIG.lp_engine = "lemke"
+        try:
+            qpn = qt.setup("simple_bilevel", gen_solution_map=True)
+            ret = qt.solve(qpn, np.array([0.0, 1.0, 0.0, 0.0]))
+            assert ret.solved
+            np.testing.assert_allclose(ret.x_opt[2:], [0.5, 0.5], atol=1e-4)
+            assert len(list(ret.Sol[2])) >= 1
+        finally:
+            CONFIG.lp_engine = old
