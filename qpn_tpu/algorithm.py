@@ -373,6 +373,13 @@ def _finish_process_qp(qpn: QPNet, pid: int, x, prep, verifies,
             except RuntimeError:
                 return SimpleNamespace(solution=False, failed=True, S=None,
                                        e=None, subpiece_assignments={})
+            if len(S_out) == 0:
+                # every branch of the combination tree pruned away: the
+                # node has no representable solution graph at this point —
+                # report failure so the caller can perturb and retry
+                # (consuming an empty graph upstream would be a hard error)
+                return SimpleNamespace(solution=False, failed=True, S=None,
+                                       e=None, subpiece_assignments={})
         else:
             S_out = None
     else:
@@ -711,6 +718,37 @@ def _try_potential_qp(qpn: QPNet, player_pool, x, S, dec_inds, param_inds):
     return x_opt
 
 
+def _qep_region_feasible(qpn: QPNet, player_pool, x, S: Dict[int, Poly]):
+    """Cheap joint-feasibility screen of a QEP's constraint region at the
+    current ancestor variables: the players' shared constraints plus every
+    assigned child piece, sliced at the non-decision coordinates."""
+    x = np.asarray(x, dtype=np.float64)
+    dec = sorted(set().union(*[set(qpn.decision_inds(i))
+                               for i in player_pool]))
+    cons = []
+    seen = set()
+    for pid in player_pool:
+        for ci in qpn.qps[pid].constraint_indices:
+            if ci not in seen:
+                seen.add(ci)
+                cons.append(qpn.constraints[ci].poly)
+    for child_id in sorted(set().union(
+            *[qpn.network_edges[i] for i in player_pool])):
+        if child_id in S:
+            cons.append(S[child_id])
+    if not cons:
+        return True
+    region = intersect(*cons)
+    spec = x.copy()
+    spec[dec] = np.nan
+    sliced = region.poly_slice(spec).closure()
+    # strict emptiness margin: the QEP AVI is solved to 1e-10, so a region
+    # infeasible by even 1e-3 (far below the geometric default 1e-2) makes
+    # it unsolvable — screen with a tight tolerance
+    empty, _ = setops.exemplar_batch([sliced], tol=1e-6)
+    return not bool(empty[0])
+
+
 def solve_qep(qpn: QPNet, player_pool, x, S: Dict[int, Poly]):
     """Level Nash solve (avi.jl:382-444), with a potential-game QP fast path
     audited per-player before acceptance."""
@@ -774,6 +812,7 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
         if level == 1 and not proj_vectors:
             for _ in range(qpn.options.num_projections):
                 proj_vectors.append(rng.standard_normal(len(x)))
+        pert_budget = 5       # perturb-to-continue attempts (see below)
         for iters in range(1, qpn.options.max_iters + 1):
             proj_vals = np.array([x @ v for v in proj_vectors])
             logger.debug("Iteration %d at level %d. %s", iters, level,
@@ -789,6 +828,21 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
                         "Cycling check requested, but num_projections == 0.")
                 cache = qpn.iterate_cache.setdefault(level, [])
                 if any(_approx_vec(proj_vals, prev) for prev in cache):
+                    # same escape hatch as the failed-QEP case below: the
+                    # reference raises here (algorithm.jl:16-30); with
+                    # perturb_to_continue we nudge the sub-level variables
+                    # out of the 2-cycle before giving up
+                    if qpn.options.perturb_to_continue and pert_budget > 0:
+                        pert_budget -= 1
+                        METRICS.bump("perturb_to_continue")
+                        players_ = sorted(qpn.network_depth_map[level])
+                        sub = sorted(set(range(len(x))) - set().union(
+                            *[set(qpn.decision_inds(i)) for i in players_]))
+                        sub = sub or list(range(len(x)))
+                        x = x.copy()
+                        x[sub] += 0.1 * rng.standard_normal(len(sub))
+                        qpn.iterate_cache[level] = []
+                        continue
                     raise RuntimeError(
                         "Cycling detected (solution iterate returned to a "
                         "previous value). Try check_convexity = true.")
@@ -799,6 +853,14 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
                                      level=level + 1,
                                      proj_vectors=proj_vectors, rng=rng)
                 if not ret_low.solved:
+                    # child-level failure: one more perturb-and-retry tier
+                    # before propagating (same escape hatch as below)
+                    if qpn.options.perturb_to_continue and pert_budget > 0:
+                        pert_budget -= 1
+                        METRICS.bump("perturb_to_continue")
+                        x = x.copy()
+                        x += 0.05 * rng.standard_normal(len(x))
+                        continue
                     return SimpleNamespace(solved=False, x_fail=x, x_opt=None,
                                            Sol=None)
                 S = ret_low.Sol
@@ -819,6 +881,18 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
             subpiece_ids = {i: 0 for i in child_level_players}
 
             if any(r.failed for r in results):
+                # the reference's perturb-to-continue branch lives exactly
+                # here (algorithm.jl:57-66, disabled by `&& false`); wired
+                # live: nudge the non-level variables and retry
+                if qpn.options.perturb_to_continue and pert_budget > 0:
+                    pert_budget -= 1
+                    METRICS.bump("perturb_to_continue")
+                    sub = sorted(set(range(len(x))) - set().union(
+                        *[set(qpn.decision_inds(i)) for i in players]))
+                    sub = sub or list(range(len(x)))
+                    x = x.copy()
+                    x[sub] += 0.1 * rng.standard_normal(len(sub))
+                    continue
                 return SimpleNamespace(solved=False, x_fail=x, x_opt=None,
                                        Sol=None)
 
@@ -842,23 +916,37 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
             if not equilibrium:
                 logger.debug("No equilibrium at level %d; QEP with subpieces "
                              "%s", level, subpiece_ids)
-                # Robustness upgrade over algorithm.jl:91-109: if the QEP
-                # assembled from the primary failing combo is unsolvable
-                # (e.g. its region is empty at the current ancestors — the
-                # reference dies in PATH here), retry with the players'
-                # alternate failing combos before giving up.
-                candidates = [subpiece_assignments]
-                for pid, r in zip(players, results):
-                    if r.solution or level >= qpn.num_levels():
-                        continue
-                    for alt in getattr(r, "alternate_assignments", [])[:4]:
-                        cand = dict(subpiece_assignments)
-                        for child_id, sp_id in alt.items():
-                            cand[child_id] = S[child_id][sp_id]
-                        candidates.append(cand)
+                # Robustness upgrade over algorithm.jl:91-109: the reference
+                # merges failing combos across players (later players
+                # overwrite, algorithm.jl:73-81) and dies in PATH when the
+                # merged region is jointly infeasible at the current
+                # ancestors.  Here the merged candidate is screened for
+                # joint feasibility first; infeasible or unsolvable
+                # candidates fall through to each player's own failing
+                # combos (and their alternates) before giving up.
+                cand_ids = [dict(subpiece_ids)]
+                if level < qpn.num_levels():
+                    for pid, r in zip(players, results):
+                        if r.solution:
+                            continue
+                        alts = ([r.subpiece_assignments]
+                                + list(getattr(r, "alternate_assignments",
+                                               []))[:4])
+                        for alt in alts:
+                            cand = {i: 0 for i in child_level_players}
+                            cand.update(alt)
+                            if cand not in cand_ids:
+                                cand_ids.append(cand)
                 last_err = None
                 xnew = None
-                for ci, cand in enumerate(candidates[:8]):
+                for ci, ids in enumerate(cand_ids[:10]):
+                    cand = {i: S[i][ji] for i, ji in ids.items()}
+                    if not _qep_region_feasible(qpn, players, x, cand):
+                        METRICS.bump("qep_infeasible_combo_skipped")
+                        last_err = last_err or RuntimeError(
+                            "QEP subpiece combination region is empty at "
+                            "the current ancestor variables.")
+                        continue
                     try:
                         xnew = solve_qep(qpn, players, x, cand)
                         if ci > 0:
@@ -868,6 +956,22 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
                         last_err = err
                         continue
                 if xnew is None:
+                    # perturb-to-continue (algorithm.jl:57-66 — present in
+                    # the reference but disabled by `&& false`; wired live
+                    # here): when every subpiece combination yields an
+                    # infeasible/unsolvable QEP, nudge the sub-level
+                    # variables and re-derive the lower levels' solution
+                    # graphs from the perturbed point.
+                    if qpn.options.perturb_to_continue and pert_budget > 0:
+                        pert_budget -= 1
+                        METRICS.bump("perturb_to_continue")
+                        sub = sorted(set(range(len(x)))
+                                     - set().union(*[set(qpn.decision_inds(i))
+                                                     for i in players]))
+                        sub = sub or list(range(len(x)))
+                        x = x.copy()
+                        x[sub] += 0.1 * rng.standard_normal(len(sub))
+                        continue
                     raise last_err
                 if np.linalg.norm(xnew - x) < 1e-4:
                     raise RuntimeError(

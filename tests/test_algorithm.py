@@ -55,6 +55,7 @@ def test_check_qp_convexity_raises():
 
 def test_cycling_detection():
     qpn = qt.setup("simple_bilevel")
+    qpn.options.perturb_to_continue = False   # reference error-path parity
     qpn.iterate_cache[1] = []
     x = np.array([1.0, 2.0, 3.0, 4.0])
     # seed the cache with the projection of x, then solve from x with the
@@ -67,6 +68,21 @@ def test_cycling_detection():
                      rng=np.random.default_rng(1))
     assert not ret.solved
     assert "Cycling" in str(ret.error)
+
+
+def test_cycling_perturb_recovery():
+    """With perturb_to_continue (the reference's disabled branch wired
+    live), a seeded cycle is escaped by nudging non-level variables."""
+    qpn = qt.setup("simple_bilevel")
+    assert qpn.options.perturb_to_continue
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    rng = np.random.default_rng(0)
+    proj = [rng.standard_normal(4) for _ in range(4)]
+    qpn.iterate_cache[1] = [np.array([x @ v for v in proj])]
+    from qpn_tpu.algorithm import solve_base
+    ret = solve_base(qpn, x, proj_vectors=proj,
+                     rng=np.random.default_rng(1))
+    assert ret.solved
 
 
 def test_combine_width_guard():

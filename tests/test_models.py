@@ -166,3 +166,16 @@ def test_shepherd_sheep_pen_binding():
     assert ret.solved
     shp = ret.x_opt[2:]
     assert np.allclose(shp, [1.0, 1.0], atol=1e-4)
+
+
+def test_robust_avoid_simple_num_obj3_solves():
+    """Round-1 'Known limit' regression (BASELINE.md): three coupled
+    obstacle/certificate branches defeat a naive equilibrium step — solving
+    needs the full robustness ladder (vacuous-combo guard, joint-feasibility
+    screen, alternate failing combos, perturb-to-continue).  The reference
+    dies in PATH on the infeasible subpiece QEP this configuration produces
+    (avi.jl:413-427 error path)."""
+    qpn = qt.setup("robust_avoid_simple", num_obj=3)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    assert np.all(np.isfinite(ret.x_opt))
