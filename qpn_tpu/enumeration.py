@@ -82,21 +82,20 @@ def _block_labels(r, z, l, u, tol):
 def _grant_requests(J, rows_zdir, rows_rdir, l, u, permuted_request, tol=1e-6):
     """Request-granted extra labels (avi_solutions.jl:522-541): if a request
     direction matches ±(z-increase) or ±(r-increase) row direction, the
-    corresponding boundary label becomes admissible."""
+    corresponding boundary label becomes admissible.
+
+    Faithfulness notes: the reference maps (a1, a2, −a2, −a1) to labels
+    (2, 1, 3, 2) — BOTH z-directions grant the interior label 2, which is
+    intentional there, not a duplicate; and its lexico normalization of the
+    directions is a no-op (``a1 ./ n`` is computed but never assigned,
+    avi_solutions.jl:524-531), so directions compare unnormalized here too.
+    """
     if not permuted_request:
         return J
     reqs = [np.asarray(req.a, dtype=np.float64) for req in permuted_request]
-
-    def _norm(a):
-        nz = np.nonzero(np.abs(a) > 1e-12)[0]
-        if len(nz) == 0:
-            return a
-        lead = a[nz[0]]
-        return a / abs(lead) * (1.0 if lead > 0 else -1.0) * np.sign(lead) ** 0
-
     for i in range(len(J)):
-        a1 = -rows_zdir[i]
-        a2 = -rows_rdir[i]
+        a1 = -rows_zdir[i]          # direction that increases z_i
+        a2 = -rows_rdir[i]          # direction that increases r_i
         for a, j, b in ((a1, 2, 0.0), (a2, 1, l[i]), (-a2, 3, u[i]),
                         (-a1, 2, 0.0)):
             if np.isfinite(b) and any(

@@ -177,14 +177,24 @@ def is_empty_batch(polys: Sequence[Poly], tol: float = 1e-4, x=None):
             sub = [polys[i] for i in need]
             if len({p.dim for p in sub}) == 1 and not any(
                     p.strict_l.any() or p.strict_u.any() for p in sub):
+                # Correctness note: the screen can only SKIP exact LPs for
+                # polys whose witness point was host-verified inside
+                # feasibility_screen — a buggy kernel cannot flip emptiness
+                # results, it can only waste the screen.  Crashes are
+                # logged + counted, never silently swallowed.
                 try:
                     from ..ops.pallas_kernels import feasibility_screen
                     witnessed, _ = feasibility_screen(
                         sub, x0=None if x is None else
                         np.asarray(x)[: sub[0].dim])
                     need = [i for i, w in zip(need, witnessed) if not w]
-                except Exception:  # pragma: no cover - screen is best-effort
-                    pass
+                except Exception as err:
+                    import logging
+                    from ..utils.metrics import METRICS
+                    METRICS.bump("pallas_screen_errors")
+                    logging.getLogger("qpn_tpu").warning(
+                        "pallas feasibility screen failed (%s); falling "
+                        "back to exact LPs", err)
     if need:
         empty, _ = exemplar_batch([polys[i] for i in need])
         for k, i in enumerate(need):
