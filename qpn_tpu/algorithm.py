@@ -355,6 +355,13 @@ def _finish_process_qp(qpn: QPNet, pid: int, x, prep, verifies,
             return SimpleNamespace(solution=False, e=first_err, failed=False,
                                    subpiece_assignments=failing[0],
                                    alternate_assignments=failing[1:], S=None)
+        if not any(r.solution for r in verifies):
+            # EVERY combo was skipped as vacuous: nothing actually verified
+            # x (its own feasibility included) — this is a failure, not
+            # vacuous contentment; the caller perturbs and retries
+            return SimpleNamespace(solution=False, failed=True, S=None,
+                                   e="all subpiece combinations vacuous",
+                                   subpiece_assignments={})
         for combo, appended, ret in zip(prep.combos, prep.combo_constraints,
                                         verifies):
             if not ret.solution:

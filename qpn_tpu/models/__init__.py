@@ -36,5 +36,9 @@ from . import toll_setting            # noqa: E402,F401
 from . import chainstore              # noqa: E402,F401
 from . import trilevel_escape         # noqa: E402,F401
 from . import shepherd_sheep          # noqa: E402,F401
+from . import robust_constrained      # noqa: E402,F401
+from . import small_deprecated        # noqa: E402,F401
+from . import control_avoid           # noqa: E402,F401
+from . import interpolation_avoid     # noqa: E402,F401
 
 __all__ = ["setup", "register"]

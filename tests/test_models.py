@@ -179,3 +179,115 @@ def test_robust_avoid_simple_num_obj3_solves():
     ret = qt.solve(qpn)
     assert ret.solved
     assert np.all(np.isfinite(ret.x_opt))
+
+
+def test_robust_constrained_equilibrium_properties():
+    """Behavioral port of deprecated/robust_constrained.jl: single-level
+    Nash of constraint-coupled adversaries. Analytic equilibrium facts:
+    u1 = min(15, max_accel), u2 = 0 (uncoupled u-player cost);
+    s[i,t] = max_j h[j,i,t]; c = min s; v = max(0, c)."""
+    T = 2
+    qpn = qt.setup("robust_constrained", T=T, num_obj=1)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    x = np.asarray(ret.x_opt)
+    F = 4
+    i = 4 + 4 * T
+    U = x[i:i + 2 * T]
+    i += 2 * T
+    H = x[i:i + F * T]
+    i += F * T
+    S = x[i:i + T]
+    i += T
+    i += 2                       # obstacle center
+    c, v = x[i], x[i + 1]
+    np.testing.assert_allclose(U[0::2], 10.0, atol=1e-6)   # u1 clipped
+    np.testing.assert_allclose(U[1::2], 0.0, atol=1e-6)    # u2 zero
+    np.testing.assert_allclose(c, S.min(), atol=1e-6)
+    np.testing.assert_allclose(v, max(0.0, c), atol=1e-6)
+
+
+def test_bilevel_escape_behavior():
+    """deprecated/bilevel_escape.jl: leader min y1-x1 over the radius-2
+    diamond; follower projects x onto the unit diamond.  The analytic
+    global equilibrium x=(2,0), y=(1,0) is stationary; from the origin the
+    algorithm stops at the local equilibrium of the identity piece (y=x on
+    the diamond interior makes the leader's objective flat) — the same
+    local-equilibrium semantics as the reference's piece-wise verification."""
+    qpn = qt.setup("bilevel_escape")
+    ret = qt.solve(qpn, np.array([2.0, 0.0, 1.0, 0.0]))
+    assert ret.solved
+    np.testing.assert_allclose(ret.x_opt, [2.0, 0.0, 1.0, 0.0], atol=1e-4)
+    qpn = qt.setup("bilevel_escape")
+    ret0 = qt.solve(qpn, np.zeros(4))
+    assert ret0.solved
+    np.testing.assert_allclose(ret0.x_opt, np.zeros(4), atol=1e-4)
+
+
+def test_simple_network_variants():
+    """deprecated/simple_network.jl: three DAG versions over three scalar
+    players.  v1: p3 below p2 -> (0,0,0).  v3: 3-level chain -> the leader
+    picks the x2=x1 piece: (0.5, 0.5, 0).  v2 (two parents sharing child
+    variables with conflicting objectives) is the ξ-disagreement case —
+    must terminate cleanly (solved or a reported failure, no crash)."""
+    ret = qt.solve(qt.setup("simple_network", edge_version=1))
+    assert ret.solved
+    np.testing.assert_allclose(ret.x_opt, [0.0, 0.0, 0.0], atol=1e-4)
+
+    ret = qt.solve(qt.setup("simple_network", edge_version=3))
+    assert ret.solved
+    np.testing.assert_allclose(ret.x_opt, [0.5, 0.5, 0.0], atol=1e-4)
+
+    ret = qt.solve(qt.setup("simple_network", edge_version=2))
+    assert hasattr(ret, "solved")        # clean termination either way
+
+
+def test_repeated_variable_control_matches_direct_qp():
+    """deprecated/repeated_variable_control.jl: the bilevel shared-variable
+    reformulation must reproduce the directly-solved constrained QP."""
+    from qpn_tpu.ops import batch_qp
+    qpn = qt.setup("repeated_variable_control")
+    ret = qt.solve(qpn)
+    assert ret.solved
+    d = qpn.problem_data
+    sol = batch_qp.solve_qp_np(d["Q"], d["q"], d["A"], d["l"], d["u"])
+    np.testing.assert_allclose(ret.x_opt[:3], np.asarray(sol.x), atol=1e-5)
+    np.testing.assert_allclose(ret.x_opt[3], 0.0, atol=1e-6)   # s = 0
+
+
+def test_control_avoid_solves_with_clearance():
+    """deprecated/control_avoid.jl: bilevel obstacle-avoidance MPC.  The
+    driver maximizes progress subject to the children's least-violated
+    halfspace certificates staying nonnegative (s >= 0 = clearance)."""
+    T = 2
+    qpn = qt.setup("control_avoid", T=T, num_obj=1)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    x = np.asarray(ret.x_opt)
+    F = 4
+    i = 2 + 4 + 4 * T + 2 * T + F * T
+    S = x[i:i + T]
+    assert np.all(S >= -1e-6)            # avoidance certificates hold
+    # dynamics consistency of the first step: x1 = dyn(xbar, u1)
+    from qpn_tpu.models.robust_constrained import dyn
+    xbar = x[2:6]
+    xt = x[6:10]
+    u1 = x[6 + 4 * T:6 + 4 * T + 2]
+    np.testing.assert_allclose(xt, dyn(list(xbar), list(u1)), atol=1e-6)
+
+
+def test_interpolation_avoid_swept_certificates():
+    """deprecated/interpolation_avoid.jl (sampled linear reformulation of
+    its bilinear swept-segment interpolation): trilevel chain with
+    per-sample separation certificates, adversarially aggregated
+    c_t = min_k eps_{k,t}; the ego keeps c_t >= 0."""
+    qpn = qt.setup("interpolation_avoid", T=1, num_samples=3)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    x = np.asarray(ret.x_opt)
+    K = 3
+    i = 4 + 4 + 2 + 2 * K
+    eps = x[i:i + K]
+    c = x[i + K]
+    np.testing.assert_allclose(c, eps.min(), atol=1e-5)
+    assert c >= -1e-6
