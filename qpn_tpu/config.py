@@ -65,7 +65,8 @@ class NumericConfig:
     # back to ADMM) — faster per query but returns optimal *vertices*,
     # which can steer degenerate enumeration paths differently;
     # "check" = run both and log disagreements (engine cross-validation).
-    lp_engine: str = "admm"
+    # Overridable via env QPN_LP_ENGINE (benchmark/CI convenience).
+    lp_engine: str = os.environ.get("QPN_LP_ENGINE", "admm")
 
 
 def pallas_screen_enabled() -> bool:

@@ -68,6 +68,55 @@ def solve_block_tridiag(A, B, C, b):
 solve_block_tridiag_batch = jax.jit(jax.vmap(solve_block_tridiag))
 
 
+# --------------------------------------------------------------------------
+#  factor / solve split — reuse the reduction operators across many RHS
+#  (the production pattern: one factorization per ADMM rho value, one
+#  O(log T) solve per iteration)
+# --------------------------------------------------------------------------
+
+def cr_factor(A, B, C):
+    """Precompute the cyclic-reduction operators (G_m, G_p, index maps and
+    per-level eliminated blocks).  Returns an opaque list of level tuples
+    consumed by :func:`cr_solve`; matrix-only work — no RHS."""
+    T, k, _ = B.shape
+    levels = max(1, int(np.ceil(np.log2(max(T, 2)))))
+    ops = []
+    stride = 1
+    idx = jnp.arange(T)
+    for _ in range(levels):
+        im = jnp.clip(idx - stride, 0, T - 1)
+        ip = jnp.clip(idx + stride, 0, T - 1)
+        has_m = idx - stride >= 0
+        has_p = idx + stride <= T - 1
+        Bm, Bp = B[im], B[ip]
+        Gm = jnp.swapaxes(qr_solve(jnp.swapaxes(Bm, -1, -2),
+                                   jnp.swapaxes(A, -1, -2)), -1, -2)
+        Gp = jnp.swapaxes(qr_solve(jnp.swapaxes(Bp, -1, -2),
+                                   jnp.swapaxes(C, -1, -2)), -1, -2)
+        Gm = jnp.where(has_m[:, None, None], Gm, 0.0)
+        Gp = jnp.where(has_p[:, None, None], Gp, 0.0)
+        ops.append((Gm, Gp, im, ip))
+        B = B - Gm @ C[im] - Gp @ A[ip]
+        A = -Gm @ A[im]
+        C = -Gp @ C[ip]
+        stride *= 2
+    # fold the final block solves into the factorization: per-solve work is
+    # then pure batched matvecs
+    B_inv = qr_solve(B, jnp.broadcast_to(jnp.eye(k, dtype=B.dtype),
+                                         B.shape))
+    return ops, B_inv
+
+
+def cr_solve(factor, b):
+    """Apply a precomputed cyclic-reduction factorization to one RHS
+    (T, k): O(log T) batched small matvecs only."""
+    ops, B_inv = factor
+    for Gm, Gp, im, ip in ops:
+        b = b - (Gm @ b[im][..., None])[..., 0] \
+              - (Gp @ b[ip][..., None])[..., 0]
+    return (B_inv @ b[..., None])[..., 0]
+
+
 def horizon_kkt_blocks(T: int, k: int, rng: np.random.Generator = None,
                        rho: float = 1.0):
     """Build a T-step tracking-with-dynamics KKT in block-tridiagonal form:

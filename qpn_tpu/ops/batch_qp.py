@@ -80,10 +80,16 @@ def _ruiz_equilibrate(P, q, A, row_mask, iters=10):
 
 
 def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
-                check_every):
+                check_every, banded_k=0):
     """Single-instance OSQP-style ADMM. All shapes static; vmapped by caller.
 
     Invalid (padded) rows must come with a=0, l=-inf, u=+inf, row_mask=False.
+
+    ``banded_k > 0`` declares the KKT matrix ``P + σI + A'RA`` block-
+    tridiagonal with step size ``banded_k`` in the given variable ordering
+    (trajectory-horizon QPs, SURVEY §5 "long-context"): the x-update then
+    factors by cyclic reduction (ops/banded.py) — O(T k³ log T) instead of
+    O((Tk)³) — the sequence-parallel axis in the production QP path.
     """
     n = q.shape[0]
     m = l.shape[0]
@@ -110,12 +116,29 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         r = jnp.where(eq, rho * 1e3, rho)
         return jnp.where(loose, rho * 1e-6, r)
 
+    if banded_k:
+        assert n % banded_k == 0, "banded_k must divide the variable count"
+        Tb = n // banded_k
+
     def factor(rho):
         R = rho_vec(rho)
         K = P + sigma * jnp.eye(n, dtype=dt) + (A.T * R[None, :]) @ A
+        if banded_k:
+            from .banded import cr_factor
+            Kb = K.reshape(Tb, banded_k, Tb, banded_k)
+            idx = jnp.arange(Tb)
+            Bd = Kb[idx, :, idx, :]
+            Ad = Kb[idx, :, jnp.clip(idx - 1, 0, Tb - 1), :]
+            Cd = Kb[idx, :, jnp.clip(idx + 1, 0, Tb - 1), :]
+            Ad = Ad.at[0].set(0.0)
+            Cd = Cd.at[Tb - 1].set(0.0)
+            return cr_factor(Ad, Bd, Cd), R
         return jnp.linalg.cholesky(K), R
 
     def chol_solve(L, b):
+        if banded_k:
+            from .banded import cr_solve
+            return cr_solve(L, b.reshape(Tb, banded_k)).reshape(n)
         w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
 
@@ -279,16 +302,21 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
                       prim_res=prim, dual_res=dual, iters=k)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "check_every"))
+@functools.partial(jax.jit, static_argnames=("max_iter", "check_every",
+                                             "banded_k"))
 def solve_qp_batch(P, q, A, l, u, row_mask, *, max_iter=4000, eps=1e-9,
-                   rho0=0.1, sigma=1e-6, alpha=1.6, check_every=25):
+                   rho0=0.1, sigma=1e-6, alpha=1.6, check_every=25,
+                   banded_k=0):
     """Solve a batch of box-constrained QPs.
 
     Args: P (B,n,n), q (B,n), A (B,m,n), l,u (B,m), row_mask (B,m) bool.
+    ``banded_k`` routes the x-update through cyclic reduction for
+    block-tridiagonal trajectory KKTs (see _admm_solve).
     Returns QPSolution with leading batch dim.
     """
     fn = functools.partial(_admm_solve, max_iter=max_iter, eps=eps, rho0=rho0,
-                           sigma=sigma, alpha=alpha, check_every=check_every)
+                           sigma=sigma, alpha=alpha, check_every=check_every,
+                           banded_k=banded_k)
     return jax.vmap(fn)(P, q, A, l, u, row_mask)
 
 

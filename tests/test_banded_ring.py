@@ -46,3 +46,46 @@ def test_ring_duplicate_mask():
     hit = np.asarray(ring_duplicate_mask(mesh, cand, ref))
     assert hit[:8].all()          # copies found somewhere in the ring
     assert not hit[8:].any()      # fresh signatures unmatched
+
+
+def test_cr_factor_solve_matches_dense():
+    """factor/solve split: one factorization, many RHS (the production ADMM
+    reuse pattern), each matching the dense solve."""
+    import jax.numpy as jnp
+    from qpn_tpu.ops.banded import (cr_factor, cr_solve, dense_from_blocks,
+                                    horizon_kkt_blocks)
+    rng = np.random.default_rng(3)
+    A, B, C, _ = horizon_kkt_blocks(16, 4, rng)
+    fac = cr_factor(jnp.asarray(A), jnp.asarray(B), jnp.asarray(C))
+    M = dense_from_blocks(A, B, C)
+    for _ in range(3):
+        b = rng.standard_normal((16, 4))
+        x = np.asarray(cr_solve(fac, jnp.asarray(b)))
+        np.testing.assert_allclose(M @ x.flatten(), b.flatten(), atol=1e-8)
+
+
+def test_banded_admm_matches_dense():
+    """banded_k routes the ADMM x-update through cyclic reduction; results
+    must match the dense-Cholesky route on trajectory-structured QPs."""
+    from qpn_tpu.ops import batch_qp
+    from qpn_tpu.ops.banded import dense_from_blocks, horizon_kkt_blocks
+    rng = np.random.default_rng(5)
+    T, k, B = 8, 4, 4
+    n = T * k
+    Ps, qs, As, ls, us = [], [], [], [], []
+    for bi in range(B):
+        A_, B_, C_, g = horizon_kkt_blocks(T, k, rng)
+        Q = dense_from_blocks(A_, B_, C_)
+        Q = 0.5 * (Q + Q.T) + 0.5 * np.eye(n)
+        Ps.append(Q)
+        qs.append(g.flatten())
+        As.append(np.eye(n))
+        ls.append(np.full(n, -2.0))
+        us.append(np.full(n, 2.0))
+    args = tuple(np.stack(a) for a in (Ps, qs, As, ls, us))
+    mask = np.ones((B, n), dtype=bool)
+    dense = batch_qp.solve_qp_batch(*args, mask)
+    banded = batch_qp.solve_qp_batch(*args, mask, banded_k=k)
+    assert np.all(np.asarray(banded.status) == batch_qp.SOLVED)
+    np.testing.assert_allclose(np.asarray(banded.x), np.asarray(dense.x),
+                               atol=1e-6)
