@@ -30,7 +30,7 @@ def main():
     B = 64
     print(f"{'T':>4s} {'k':>3s} {'n':>4s} {'dense[s]':>9s} {'banded[s]':>10s}"
           f" {'speedup':>8s} {'agree':>6s}")
-    for T, k in ((8, 6), (16, 6), (32, 6), (64, 6), (128, 6)):
+    for T, k in ((8, 6), (16, 6), (32, 6), (64, 6)):
         n = T * k
         Ps, qs = [], []
         for _ in range(B):

@@ -196,7 +196,7 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
 
     from .config import row_bucket, bucket
     m_p = row_bucket(m_max)
-    d_p = bucket(d_max, (2, 4, 8, 16, 32, 64, 128))
+    d_p = bucket(d_max, (8, 32, 128))
     Ad = np.zeros((B, m_p, d_p))       # signed active-row matrix (rows=duals)
     qt = np.zeros((B, d_p))
     act_mask = np.zeros((B, m_p), dtype=bool)

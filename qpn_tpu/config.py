@@ -47,10 +47,16 @@ class NumericConfig:
     # Screening dtype for bulk prefilters (results always re-checked at `dtype`).
     screen_dtype: np.dtype = np.float32
     # Row-count bucket sizes used when padding ragged polyhedron batches to
-    # static shapes (bounds jit recompilation; see geometry/batched.py).
-    row_buckets: tuple = (8, 16, 32, 64, 128, 256, 512, 1024)
+    # static shapes.  Deliberately COARSE: the dominant cost of the host
+    # loop is jit trace+compile per distinct shape (~0.2-1s each on CPU,
+    # minutes on the TPU tunnel), while padding waste is only flops in a
+    # lockstep loop whose padded lanes converge instantly.  Coarse ladders
+    # cap the shape space at a few dozen combos per process.
+    row_buckets: tuple = (16, 64, 256, 1024)
     # Dimension buckets for the variable axis.
-    dim_buckets: tuple = (4, 8, 16, 32, 64, 128, 256)
+    dim_buckets: tuple = (8, 32, 128, 256)
+    # Batch-size buckets for padded ensemble calls.
+    batch_buckets: tuple = (1, 8, 64, 512, 2048)
     # Large-but-finite stand-in for Inf inside kernels that cannot tolerate it.
     big: float = 1e20
     # f32 Pallas feasibility pre-screen before exact emptiness LPs.

@@ -80,6 +80,24 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2):
     if B == 0:
         return empty, examples
 
+    # content-addressed memo: emptiness/exemplar are pure in the poly
+    from .query_cache import CACHE, poly_key
+    keys = [(b"exemplar", poly_key(p), round(tol, 9)) for p in polys]
+    todo = []
+    for i, k in enumerate(keys):
+        hit = CACHE.get(k)
+        if hit is not None:
+            empty[i], examples[i] = hit
+        else:
+            todo.append(i)
+    if not todo:
+        return empty, examples
+    polys_all, empty_all, examples_all = polys, empty, examples
+    polys = [polys_all[i] for i in todo]
+    B = len(polys)
+    empty = np.zeros(B, dtype=bool)
+    examples = [None] * B
+
     # group by (n_dim, bucketed 2m rows)
     shapes = [(p.dim, row_bucket(max(2 * p.m, 2))) for p in polys]
     for (n, mp), idxs in _group_indices(shapes).items():
@@ -146,7 +164,11 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2):
                     examples[i] = x
             else:
                 examples[i] = x
-    return empty, examples
+    for j, i in enumerate(todo):
+        empty_all[i] = empty[j]
+        examples_all[i] = examples[j]
+        CACHE.put(keys[i], (bool(empty[j]), examples[j]))
+    return empty_all, examples_all
 
 
 def is_empty(poly: Poly, tol: float = 1e-4, x=None) -> bool:
@@ -253,6 +275,25 @@ def support_batch(polys: Sequence[Poly], dirs: Sequence[np.ndarray]):
     stat = np.zeros(B, dtype=int)
     if B == 0:
         return vals, stat
+    # content-addressed memo: support values are pure in (poly, direction)
+    from .query_cache import CACHE, dir_key, poly_key
+    keys = [(b"support", poly_key(p), dir_key(d))
+            for p, d in zip(polys, dirs)]
+    todo = []
+    for i, k in enumerate(keys):
+        hit = CACHE.get(k)
+        if hit is not None:
+            vals[i], stat[i] = hit
+        else:
+            todo.append(i)
+    if not todo:
+        return vals, stat
+    vals_all, stat_all, polys_all, dirs_all = vals, stat, polys, dirs
+    polys = [polys_all[i] for i in todo]
+    dirs = [dirs_all[i] for i in todo]
+    B = len(polys)
+    vals = np.zeros(B)
+    stat = np.zeros(B, dtype=int)
     shapes = [(p.dim, row_bucket(max(p.m, 1))) for p in polys]
     for (n, mp), idxs in _group_indices(shapes).items():
         Ps, qs, As, ls, us, masks = [], [], [], [], [], []
@@ -278,7 +319,11 @@ def support_batch(polys: Sequence[Poly], dirs: Sequence[np.ndarray]):
                 vals[i] = _INF
             else:
                 vals[i] = OBJ[k]
-    return vals, stat
+    for j, i in enumerate(todo):
+        vals_all[i] = vals[j]
+        stat_all[i] = stat[j]
+        CACHE.put(keys[i], (float(vals[j]), int(stat[j])))
+    return vals_all, stat_all
 
 
 def issubset_pairs(pairs, tol: float = 1e-6):
@@ -288,6 +333,39 @@ def issubset_pairs(pairs, tol: float = 1e-6):
     satisfies min dir·a'x ≥ dir·b − tol.  Matches the reference exactly,
     including its quirk that an *empty* P1 whose support LP reports
     infeasibility yields False."""
+    # Cheap exemplar certificate first: a point of P1 clearly violating a
+    # row of P2 disproves P1 ⊆ P2 with pure host arithmetic.  Solution-map
+    # pieces have pairwise-disjoint interiors, so the (cached) ε-inflation
+    # exemplar — a max-margin interior point — resolves almost every
+    # non-subset pair without an LP.  Borderline points fall through.
+    out = np.ones(len(pairs), dtype=bool)
+    uniq = []
+    seen_ids = {}
+    for P1, _ in pairs:
+        if id(P1) not in seen_ids:
+            seen_ids[id(P1)] = len(uniq)
+            uniq.append(P1)
+    empty1, ex1 = exemplar_batch(uniq)
+    undecided = []
+    for pi, (P1, P2) in enumerate(pairs):
+        k = seen_ids[id(P1)]
+        if empty1[k]:
+            out[pi] = False          # reference quirk: empty P1 ⇒ False
+            continue
+        x = ex1[k]
+        if x is not None:
+            ax = P2.A @ x
+            with np.errstate(invalid="ignore"):
+                v = np.maximum(
+                    np.where(np.isfinite(P2.l), P2.l - ax, -np.inf),
+                    np.where(np.isfinite(P2.u), ax - P2.u, -np.inf))
+            if np.nanmax(v, initial=-np.inf) > 1e-5:
+                out[pi] = False      # certified non-subset
+                continue
+        undecided.append(pi)
+    if not undecided:
+        return out
+
     # Deduplicate support queries: in an all-pairs prune the same P1 is
     # tested against every other member, and members of one solution-map
     # union share normalized hyperplanes (same GAVI arrangement), so the
@@ -295,7 +373,8 @@ def issubset_pairs(pairs, tol: float = 1e-6):
     qkey_to_slot = {}
     slot_polys, slot_dirs = [], []
     checks = []           # (pair_idx, slot, bound, sign)
-    for pi, (P1, P2) in enumerate(pairs):
+    for pi in undecided:
+        P1, P2 = pairs[pi]
         for i in range(P2.m):
             for d, bound, sgn in (((P2.A[i]), P2.l[i], 1.0),
                                   ((-P2.A[i]), P2.u[i], -1.0)):
@@ -309,7 +388,6 @@ def issubset_pairs(pairs, tol: float = 1e-6):
                     slot_polys.append(P1)
                     slot_dirs.append(d)
                 checks.append((pi, slot, bound, sgn))
-    out = np.ones(len(pairs), dtype=bool)
     if not checks:
         return out
     vals, stat = support_batch(slot_polys, slot_dirs)

@@ -383,9 +383,8 @@ def solve_avi_batch_adaptive(M, q, l, u, z0, var_mask, *, tol=1e-10,
         sub = (M[idx], np.asarray(q)[idx], np.asarray(l)[idx],
                np.asarray(u)[idx], z_cur[idx] if bi == 0 else z_out[idx],
                np.asarray(var_mask)[idx])
-        from ..config import bucket
-        Bp = bucket(len(idx), (1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
-                               1024, 2048))
+        from ..config import bucket, CONFIG
+        Bp = bucket(len(idx), CONFIG.batch_buckets)
         pad = Bp - len(idx)
         padded = [np.concatenate([s, np.repeat(s[:1], pad, axis=0)], axis=0)
                   if pad else s for s in sub]
@@ -619,7 +618,7 @@ def solve_avi_batch_padded(M, q, l, u, z0, var_mask, _no_broker=False,
     q = np.asarray(q, dtype=np.float64)
     B, n, _ = M.shape
     Bp = bucket(max(B, _min_batch),
-                (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
+                CONFIG.batch_buckets)
     np_ = bucket(n, CONFIG.row_buckets)
     Mp = np.zeros((Bp, np_, np_))
     Mp[:, range(np_), range(np_)] = 1.0

@@ -385,7 +385,7 @@ def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,
     row_mask = np.asarray(row_mask, dtype=bool)
     B, m, n = A.shape
     Bp = bucket(max(B, _min_batch),
-                (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
+                CONFIG.batch_buckets)
     mp = bucket(m, CONFIG.row_buckets)
     np_ = bucket(n, CONFIG.dim_buckets)
 

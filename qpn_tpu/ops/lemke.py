@@ -544,7 +544,7 @@ def solve_lemke_batch_padded(M, q, l, u, z0, var_mask, tol=1e-9):
     from ..config import bucket, CONFIG
     M = np.asarray(M, dtype=np.float64)
     B, n, _ = M.shape
-    Bp = bucket(B, (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
+    Bp = bucket(B, CONFIG.batch_buckets)
     np_ = bucket(n, CONFIG.row_buckets)
     Mp = np.zeros((Bp, np_, np_))
     Mp[:, range(np_), range(np_)] = 1.0
@@ -597,7 +597,7 @@ def solve_lp_lemke_batch(c, A, l, u, row_mask, *, tol=1e-7,
     # bucket every axis so ragged LP batches share a handful of compiled
     # pivot kernels; padded variables/rows are masked off inside the AVI
     B = bucket(max(B0_, _min_batch),
-               (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048))
+               CONFIG.batch_buckets)
     m = bucket(max(m0, 1), CONFIG.row_buckets)
     n = bucket(max(n0, 1), CONFIG.dim_buckets)
     Ap = np.zeros((B, m, n))
