@@ -518,13 +518,42 @@ def solve_kkt_avi_batch(M, q, l, u, var_mask, structure, tol=1e-10,
         max_pivots = 256
         while max_pivots < min(4096, 16 * n + 256):
             max_pivots *= 2
-        zL, statusL, pivL = (np.asarray(a) for a in solve_lemke_batch(
-            M, q, np.asarray(l, dtype=np.float64),
-            np.asarray(u, dtype=np.float64), np.zeros((B, n)),
-            np.asarray(var_mask, dtype=bool), tol=1e-11,
+        # f32 pivot path: the pivot SEQUENCE only needs enough precision to
+        # pick the right complementary basis (f64 is software-emulated on
+        # TPU); a short f64 Newton polish then lands machine-precision
+        # values from the f32-accurate point.  Lanes the audit rejects
+        # re-pivot in f64.
+        f32 = functools.partial(np.asarray, dtype=np.float32)
+        l64 = np.asarray(l, dtype=np.float64)
+        u64 = np.asarray(u, dtype=np.float64)
+        z32, st32, pivL = (np.asarray(a) for a in solve_lemke_batch(
+            f32(M), f32(q), f32(l64), f32(u64),
+            np.zeros((B, n), dtype=np.float32),
+            np.asarray(var_mask, dtype=bool), tol=1e-6, piv_tol=1e-5,
             max_pivots=max_pivots))
+        pol = solve_avi_batch_polish(
+            M, q, l64, u64, np.asarray(z32, dtype=np.float64),
+            np.asarray(var_mask, dtype=bool), tol=tol, max_iter=25)
+        zL = np.array(pol.z, dtype=np.float64)
         residL = natural_residual_np(M, q, l, u, zL, var_mask)
         okL = residL <= tol
+        pivL = np.asarray(pivL, dtype=np.int64)
+        if not okL.all():
+            idx32 = np.nonzero(~okL)[0]
+            z64, st64, piv64 = (np.asarray(a) for a in solve_lemke_batch(
+                M[idx32], q[idx32], l64[idx32], u64[idx32],
+                np.zeros((len(idx32), n)),
+                np.asarray(var_mask, dtype=bool)[idx32], tol=1e-11,
+                max_pivots=max_pivots))
+            r64 = natural_residual_np(M[idx32], q[idx32], l64[idx32],
+                                      u64[idx32], z64,
+                                      np.asarray(var_mask)[idx32])
+            better = r64 < residL[idx32]
+            zL[idx32[better]] = z64[better]
+            residL[idx32[better]] = r64[better]
+            pivL = pivL.copy()
+            pivL[idx32] += np.asarray(piv64, dtype=np.int64)
+            okL = residL <= tol
         if okL.all():
             return AVIResult(z=zL, resid=residL, iters=np.asarray(pivL),
                              converged=okL)
