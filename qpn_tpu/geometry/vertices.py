@@ -352,14 +352,16 @@ def convex_hull(pu, tol: float = 1e-6) -> Poly:
 
 
 def hull_of_points(pts: np.ndarray, tol: float = 1e-6) -> Poly:
-    """H-rep hull of a point cloud by facet enumeration in low dimension.
+    """H-rep hull of a point cloud (sets.jl:977-1010, cdd role).
 
-    Small-dimension double-description stand-in: for each subset of d points
-    spanning a hyperplane, keep it if all points lie on one side.  Exponential
-    in general — gated to the small dims where the reference used it."""
+    Low dimension: direct facet enumeration over point d-subsets.
+    Higher dimension: polar duality — after centering, the facets of
+    conv(V) are the vertices of the polar dual ``{y : y·v ≤ 1 ∀v}``, an
+    H-polytope handled by :func:`get_verts_exhaustive` (same combinatorial
+    budget; full-dimensional clouds only)."""
     npts, d = pts.shape
     if d > 4 or npts > 64:
-        raise RuntimeError("hull_of_points limited to dim<=4, npts<=64")
+        return _hull_via_polar(pts, tol)
     from itertools import combinations
     rows, lbs, ubs = [], [], []
     for comb in combinations(range(npts), d):
@@ -387,3 +389,35 @@ def hull_of_points(pts: np.ndarray, tol: float = 1e-6) -> Poly:
     if not rows:
         raise RuntimeError("hull_of_points: no facets found")
     return Poly(np.array(rows), np.array(lbs), np.array(ubs)).simplify()
+
+
+def _hull_via_polar(pts: np.ndarray, tol: float = 1e-6) -> Poly:
+    """General-dimension hull by polar duality (requires a full-dimensional
+    cloud: the centered points must span R^d so 0 is interior)."""
+    npts, d = pts.shape
+    c = pts.mean(axis=0)
+    V = pts - c
+    if np.linalg.matrix_rank(V, tol=1e-9) < d:
+        raise RuntimeError(
+            "hull_of_points: degenerate (non-full-dimensional) cloud in "
+            f"dim {d}; project first")
+    # polar dual: y·v ≤ 1 for every point (redundant interior points only
+    # add redundant dual rows — harmless)
+    dual = Poly(V, np.full(npts, -np.inf), np.ones(npts))
+    Y = get_verts_exhaustive(dual, np.zeros(npts, dtype=bool), tol)
+    if Y is None:
+        raise RuntimeError(
+            "hull_of_points: combinatorial budget exceeded "
+            f"({npts} points, dim {d})")
+    rows, ubs = [], []
+    for y in Y:
+        nrm = np.linalg.norm(y)
+        if nrm < 1e-12:
+            continue
+        # facet in original coordinates: y·(x − c) ≤ 1
+        rows.append(y)
+        ubs.append(1.0 + float(y @ c))
+    if not rows:
+        raise RuntimeError("hull_of_points: no facets found (polar)")
+    return Poly(np.array(rows), np.full(len(rows), -np.inf),
+                np.array(ubs)).simplify()

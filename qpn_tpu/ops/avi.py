@@ -523,21 +523,36 @@ def solve_kkt_avi_batch(M, q, l, u, var_mask, structure, tol=1e-10,
         # TPU); a short f64 Newton polish then lands machine-precision
         # values from the f32-accurate point.  Lanes the audit rejects
         # re-pivot in f64.
+        from .lemke import refactor_batch_np, solve_lemke_batch_state
         f32 = functools.partial(np.asarray, dtype=np.float32)
         l64 = np.asarray(l, dtype=np.float64)
         u64 = np.asarray(u, dtype=np.float64)
-        z32, st32, pivL = (np.asarray(a) for a in solve_lemke_batch(
+        vm = np.asarray(var_mask, dtype=bool)
+        z32, st32, pivL, basis32, val32 = (np.asarray(a) for a in
+                                           solve_lemke_batch_state(
             f32(M), f32(q), f32(l64), f32(u64),
-            np.zeros((B, n), dtype=np.float32),
-            np.asarray(var_mask, dtype=bool), tol=1e-6, piv_tol=1e-5,
+            np.zeros((B, n), dtype=np.float32), vm, tol=1e-6, piv_tol=1e-5,
             max_pivots=max_pivots))
-        pol = solve_avi_batch_polish(
-            M, q, l64, u64, np.asarray(z32, dtype=np.float64),
-            np.asarray(var_mask, dtype=bool), tol=tol, max_iter=25)
-        zL = np.array(pol.z, dtype=np.float64)
+        # host f64 refactorization of the terminal basis: one stacked
+        # LAPACK solve lands machine-precision values from the f32 path
+        zL, okR = refactor_batch_np(M, q, l64, u64, basis32, val32, vm)
+        zL[~okR] = np.asarray(z32, dtype=np.float64)[~okR]
         residL = natural_residual_np(M, q, l, u, zL, var_mask)
         okL = residL <= tol
         pivL = np.asarray(pivL, dtype=np.int64)
+        if not okL.all():
+            # short f64 Newton polish only for the residual stragglers
+            idxP = np.nonzero(~okL)[0]
+            pol = solve_avi_batch_polish(
+                M[idxP], q[idxP], l64[idxP], u64[idxP], zL[idxP],
+                vm[idxP], tol=tol, max_iter=8)
+            zP = np.asarray(pol.z, dtype=np.float64)
+            rP = natural_residual_np(M[idxP], q[idxP], l64[idxP], u64[idxP],
+                                     zP, vm[idxP])
+            better = rP < residL[idxP]
+            zL[idxP[better]] = zP[better]
+            residL[idxP[better]] = rP[better]
+            okL = residL <= tol
         if not okL.all():
             idx32 = np.nonzero(~okL)[0]
             z64, st64, piv64 = (np.asarray(a) for a in solve_lemke_batch(

@@ -500,7 +500,7 @@ def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
     z = jnp.where(rowof >= 0, xB[jnp.clip(rowof, 0)], val[:n])
     z = jnp.where(var_mask, z, 0.0)
     k = jnp.where(solved_at_start, 0, k)
-    return z, status, k
+    return z, status, k, basis, val
 
 
 def _pivot_jax(T, row, col):
@@ -534,8 +534,95 @@ def solve_lemke_batch(M, q, l, u, z0, var_mask, tol=1e-9, piv_tol=1e-11,
     fn = functools.partial(_lemke_single, tol=tol, piv_tol=piv_tol,
                            max_pivots=max_pivots, synth_scale=synth_scale,
                            cover=cover)
-    return jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn(M_, q_, l_, u_, z_, vm))(
+    z, status, piv, _, _ = jax.vmap(
+        lambda M_, q_, l_, u_, z_, vm: fn(M_, q_, l_, u_, z_, vm))(
         M, q, l, u, z0, var_mask)
+    return z, status, piv
+
+
+@functools.partial(jax.jit, static_argnames=("max_pivots", "cover"))
+def solve_lemke_batch_state(M, q, l, u, z0, var_mask, tol=1e-9,
+                            piv_tol=1e-11, max_pivots: int = 512,
+                            synth_scale=1e4, cover: str = "viol"):
+    """Like :func:`solve_lemke_batch` but also returns the terminal basis
+    bookkeeping ``(basis, val)`` so the caller can refactorize the basic
+    system in f64 on host (see :func:`refactor_batch_np`) — the mixed-
+    precision pattern: pivot the PATH in fast f32 arithmetic, land exact
+    values with one batched LAPACK solve."""
+    fn = functools.partial(_lemke_single, tol=tol, piv_tol=piv_tol,
+                           max_pivots=max_pivots, synth_scale=synth_scale,
+                           cover=cover)
+    return jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn(M_, q_, l_, u_, z_,
+                                                      vm))(
+        M, q, l, u, z0, var_mask)
+
+
+def refactor_batch_np(M, q, l, u, basis, val, var_mask):
+    """Host f64 terminal refactorization for a batch of pivot outcomes.
+
+    Rebuilds each lane's basic system from the ORIGINAL f64 data at the
+    terminal complementary basis and solves it with one stacked LAPACK
+    call; nonbasic z values snap to the nearest true f64 bound.  Returns
+    (z, ok) — lanes with t still basic or a singular basis get ok=False.
+    """
+    M = np.asarray(M, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    l = np.asarray(l, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    basis = np.asarray(basis)
+    val32 = np.asarray(val, dtype=np.float64)
+    var_mask = np.asarray(var_mask, dtype=bool)
+    B, n = q.shape
+    eye = np.eye(n)
+    Mm = np.where(var_mask[:, None, :] & var_mask[:, :, None], M, eye[None])
+    qm = np.where(var_mask, q, 0.0)
+    lm = np.where(var_mask, l, 0.0)
+    um = np.where(var_mask, u, 0.0)
+
+    # snap nonbasic z values to the true f64 bounds where they exist
+    val = val32.copy()
+    zval = val[:, :n]
+    with np.errstate(invalid="ignore"):
+        dl = np.abs(zval - np.where(np.isfinite(lm), lm, np.inf))
+        du = np.abs(zval - np.where(np.isfinite(um), um, np.inf))
+    snap_l = np.isfinite(lm) & ((dl <= du) | ~np.isfinite(um)) & (dl < 1e-2 * (1 + np.abs(zval)))
+    snap_u = np.isfinite(um) & (du < dl) & (du < 1e-2 * (1 + np.abs(zval)))
+    val[:, :n] = np.where(snap_l, lm, np.where(snap_u, um, zval))
+
+    bz = basis < n
+    bu = (basis >= n) & (basis < 2 * n)
+    t_ok = np.all(basis != 3 * n, axis=1)
+    # basis matrix columns: z_i -> M[:, i]; u_i -> -e_i; v_i -> +e_i
+    col_idx = np.where(bz, basis, 0)
+    col_z = np.take_along_axis(Mm, col_idx[:, None, :], axis=2)
+    slack_idx = np.where(bu, basis - n, np.clip(basis - 2 * n, 0, n - 1))
+    e_cols = (np.arange(n)[None, :, None]
+              == slack_idx[:, None, :]).astype(np.float64)
+    sgn = np.where(bu, -1.0, 1.0)
+    Bmat = np.where(bz[:, None, :], col_z, sgn[:, None, :] * e_cols)
+    nb = val.copy()
+    np.put_along_axis(nb, basis, 0.0, axis=1)
+    rhs = (-qm - np.einsum("bij,bj->bi", Mm, nb[:, :n])
+           + nb[:, n:2 * n] - nb[:, 2 * n:3 * n])
+    ok = t_ok.copy()
+    xB = np.zeros((B, n))
+    try:
+        xB = np.linalg.solve(Bmat, rhs[..., None])[..., 0]
+    except np.linalg.LinAlgError:
+        for b in range(B):
+            try:
+                xB[b] = np.linalg.solve(Bmat[b], rhs[b])
+            except np.linalg.LinAlgError:
+                ok[b] = False
+    bad = ~np.isfinite(xB).all(axis=1)
+    ok &= ~bad
+    # z_i = row value where basic, snapped nonbasic value otherwise
+    z = nb[:, :n].copy()
+    for b in range(B):                      # scatter basic values (small)
+        sel = bz[b]
+        z[b, basis[b, sel]] = xB[b, sel]
+    z = np.where(var_mask, z, 0.0)
+    return z, ok
 
 
 def solve_lemke_batch_padded(M, q, l, u, z0, var_mask, tol=1e-9):

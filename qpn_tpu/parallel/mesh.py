@@ -13,8 +13,11 @@ axes map the algorithm's latent concurrency onto a 2-D mesh:
   containment prune, `psum` for keep-mask reductions.
 
 Pipeline (level-by-level) parallelism rides the same mesh: each level's
-batched KKT solve is sharded over both axes, and the level sweep is a
-`lax.scan` on host-invariant shapes.
+batched KKT solve is sharded over both axes, and for chain networks the
+bottom-up level sweep compiles to ONE ``lax.scan``
+(:func:`qpn_tpu.parallel.sharded.level_sweep_scan`, fed by
+:func:`~qpn_tpu.parallel.sharded.stack_chain_avis`) that vmaps/shards
+over scenario ensembles.
 """
 
 from __future__ import annotations

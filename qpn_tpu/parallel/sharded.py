@@ -84,6 +84,90 @@ def sharded_containment_prune(mesh: Mesh, act, resid):
     return keep
 
 
+def stack_chain_avis(qpn):
+    """Stack a chain network's per-level KKT AVIs into uniform tensors for
+    :func:`level_sweep_scan`.
+
+    Restricted to the level-pipeline fast class: one player per level, a
+    single box-constraint set, and (as in the reference's latent PP axis,
+    algorithm.jl:32-43) each level's QP parameterized only by its CHILD's
+    decision — so the bottom-up sweep is a pure dataflow.  Returns
+    (M, Ncarry, o, l, u, dec_slice) stacked bottom-up with uniform shapes.
+    """
+    import numpy as np
+    L = qpn.num_levels()
+    per_level = []
+    for lv in range(L, 0, -1):               # bottom-up
+        players = sorted(qpn.network_depth_map[lv])
+        assert len(players) == 1, "chain sweep needs one player per level"
+        pid = players[0]
+        qp = qpn.qps[pid]
+        own = sorted(qp.var_indices)
+        child = sorted(qpn.network_edges[pid])
+        cvars = sorted(qpn.qps[child[0]].var_indices) if child else []
+        cons = [qpn.constraints[c].poly for c in qp.constraint_indices]
+        A = np.vstack([c.A for c in cons])[:, own]
+        lb = np.concatenate([c.l for c in cons])
+        ub = np.concatenate([c.u for c in cons])
+        nd, m = len(own), len(lb)
+        k = nd + 2 * m
+        Q = qp.f.Q[np.ix_(own, own)]
+        qlin = qp.f.q[own]
+        Qc = (qp.f.Q[np.ix_(own, cvars)] if cvars
+              else np.zeros((nd, len(own))))
+        # KKT AVI over z=[x; λ; s]:  Qx + Qc·c + q − A'λ ⟂ x free
+        #                            Ax − s = 0 (free λ);  λ ⟂ l ≤ s ≤ u
+        M = np.zeros((k, k))
+        M[:nd, :nd] = Q
+        M[:nd, nd:nd + m] = -A.T
+        M[nd:nd + m, :nd] = A
+        M[nd:nd + m, nd + m:] = -np.eye(m)
+        M[nd + m:, nd:nd + m] = np.eye(m)
+        Nc = np.zeros((k, Qc.shape[1]))
+        Nc[:nd] = Qc
+        o = np.concatenate([qlin, np.zeros(2 * m)])
+        lo = np.concatenate([np.full(nd + m, -np.inf), lb])
+        hi = np.concatenate([np.full(nd + m, np.inf), ub])
+        per_level.append((M, Nc, o, lo, hi, nd, own))
+    ks = {p[0].shape[0] for p in per_level}
+    cs = {p[1].shape[1] for p in per_level}
+    assert len(ks) == 1 and len(cs) == 1, "chain sweep needs uniform shapes"
+    M = np.stack([p[0] for p in per_level])
+    Nc = np.stack([p[1] for p in per_level])
+    o = np.stack([p[2] for p in per_level])
+    lo = np.stack([p[3] for p in per_level])
+    hi = np.stack([p[4] for p in per_level])
+    nd = per_level[0][5]
+    owns = [p[6] for p in per_level]
+    return M, Nc, o, lo, hi, nd, owns
+
+
+def level_sweep_scan(M, Ncarry, o, l, u, nd, carry0, tol=1e-9, max_iter=60):
+    """Bottom-up level pipeline as ONE ``lax.scan`` (SURVEY §2.3 row 6 — the
+    PP analogue the reference leaves latent at algorithm.jl:32-43).
+
+    Per level: q = Ncarry·carry + o; solve the level's KKT AVI with the
+    semismooth-Newton kernel; the level's decision block becomes the next
+    carry.  The whole L-level sweep compiles to one kernel — no host
+    recursion — and vmaps/shards over scenario ensembles."""
+    import functools
+
+    fn = functools.partial(_newton_solve, tol=tol, max_iter=max_iter)
+
+    def step(carry, level):
+        Ml, Nl, ol, ll, ul = level
+        q = Nl @ carry + ol
+        res = fn(Ml, q, ll, ul, jnp.zeros_like(ol),
+                 var_mask=jnp.ones(ol.shape[0], dtype=bool))
+        return res.z[:nd], (res.z, res.resid)
+
+    carry, (zs, resids) = jax.lax.scan(step, jnp.asarray(carry0),
+                                       (jnp.asarray(M), jnp.asarray(Ncarry),
+                                        jnp.asarray(o), jnp.asarray(l),
+                                        jnp.asarray(u)))
+    return carry, zs, resids
+
+
 def equilibrium_superstep(mesh: Mesh, batch, tol=1e-8, max_iter=840):
     """One full sharded equilibrium iteration — the framework's "training
     step" analogue, exercised by __graft_entry__.dryrun_multichip.

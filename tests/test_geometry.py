@@ -163,3 +163,23 @@ def test_property_subset_transitive(rng):
         assert issubset(inner, outer)
         third = intersect(inner, outer)
         assert issubset(third, outer)
+
+
+def test_hull_of_points_high_dim_polar():
+    """dim>4 hull via polar duality (lifts the round-1 dim<=4 gate)."""
+    from qpn_tpu.geometry.vertices import hull_of_points
+    rng = np.random.default_rng(7)
+    d = 6
+    # cross-polytope vertices (hull = the cross-polytope, 2^d facets)
+    # plus interior noise; the dual stays within the combinatorial budget
+    corners = np.vstack([np.eye(d), -np.eye(d)])
+    inner = rng.uniform(-0.2, 0.2, size=(4, d))
+    pts = np.vstack([corners, inner])
+    h = hull_of_points(pts)
+    assert h.contains(np.zeros(d), tol=1e-8)
+    e = np.zeros(d)
+    e[0] = 0.999
+    assert h.contains(e, tol=1e-6)
+    assert not h.contains(np.full(d, 0.5), tol=1e-6)   # outside ||x||_1 <= 1
+    for p in pts:
+        assert h.contains(p, tol=1e-6)

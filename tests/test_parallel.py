@@ -85,3 +85,45 @@ def test_equilibrium_superstep_64():
     conv = float(out["converged_frac"])
     assert conv >= 0.9
     assert np.asarray(out["keep"]).shape == (64,)
+
+
+def test_level_sweep_scan_matches_recursion():
+    """SURVEY §2.3 row 6 (PP analogue): the bottom-up level pipeline as ONE
+    lax.scan must reproduce the host-recursive solve on a chain network."""
+    import qpn_tpu as qt
+    from qpn_tpu.parallel.sharded import level_sweep_scan, stack_chain_avis
+    qpn = qt.setup("deep_synthetic", levels=8, width=1)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    M, Nc, o, l, u, nd, owns = stack_chain_avis(qpn)
+    carry, zs, resids = level_sweep_scan(M, Nc, o, l, u, nd, np.zeros(nd))
+    assert float(np.max(np.asarray(resids))) < 1e-9
+    x_sweep = np.zeros(qpn.num_vars)
+    for lvl, own in enumerate(owns):
+        x_sweep[own] = np.asarray(zs)[lvl, :nd]
+    np.testing.assert_allclose(x_sweep, ret.x_opt, atol=1e-8)
+
+
+def test_level_sweep_scan_sharded_ensemble():
+    """The level sweep vmaps over a scenario ensemble and shards over the
+    mesh: vary the targets (the o vector) per scenario."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P, NamedSharding
+    import qpn_tpu as qt
+    from qpn_tpu.parallel.mesh import make_mesh, scenario_sharding
+    from qpn_tpu.parallel.sharded import level_sweep_scan, stack_chain_avis
+    qpn = qt.setup("deep_synthetic", levels=4, width=1)
+    M, Nc, o, l, u, nd, owns = stack_chain_avis(qpn)
+    S = 16
+    rng = np.random.default_rng(0)
+    o_batch = np.repeat(o[None], S, axis=0)
+    o_batch[:, :, :nd] += 0.1 * rng.standard_normal((S, o.shape[0], nd))
+    mesh = make_mesh(8)
+    sh = scenario_sharding(mesh)
+    fn = jax.jit(jax.vmap(
+        lambda ob: level_sweep_scan(M, Nc, ob, l, u, nd, np.zeros(nd))))
+    carry, zs, resids = fn(jax.device_put(jnp.asarray(o_batch), sh))
+    assert float(jnp.max(resids)) < 1e-8
+    assert np.asarray(zs).shape[:2] == (S, M.shape[0])
