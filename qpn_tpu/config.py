@@ -63,6 +63,14 @@ class NumericConfig:
     # None = auto (enabled on the TPU backend, where the fused f32 kernel is
     # nearly free and the f64 LP is emulated).
     use_pallas_screen: bool | None = None
+    # Two-tier ADMM straggler decoupling in solve_qp_batch_padded: the
+    # batched while_loop is lockstep, so one slow lane drags the whole
+    # padded batch to its iteration count (measured: most lanes converge
+    # in <=300 iterations, a few certificate-bound lanes run to the 4000
+    # cap, inflating batch cost ~5x).  Tier 1 runs this many iterations;
+    # only unconverged lanes re-solve with the full budget in a second,
+    # much smaller batch.  0 disables tiering.
+    admm_tier1_iters: int = 250
     # Engine for pure LPs (support / emptiness / membership queries):
     # "admm" (default) = the first-order OSQP-style kernel — its
     # interior-ish selection among alternative optima matches the
@@ -73,6 +81,30 @@ class NumericConfig:
     # "check" = run both and log disagreements (engine cross-validation).
     # Overridable via env QPN_LP_ENGINE (benchmark/CI convenience).
     lp_engine: str = os.environ.get("QPN_LP_ENGINE", "admm")
+    # Engine for SUPPORT-VALUE queries specifically (sets.jl:377-407 role).
+    # Support values are unique (unlike argmin selections), so an exact
+    # pivot engine cannot steer enumeration trajectories the way a global
+    # lp_engine="lemke" does.  "host" (default) = the native C++ exact-
+    # shape pivot kernel (utils/native.lemke_batch; ~0.1-1 ms per LP,
+    # audited, ADMM fallback); "lemke" = the bucket-padded jit pivot
+    # route (~2x slower than ADMM on CPU, kept for cross-checks);
+    # "admm" = the batched first-order kernel.
+    support_engine: str = os.environ.get("QPN_SUPPORT_ENGINE", "host")
+    # Engine for the ε-inflation exemplar/emptiness LPs (sets.jl:591-642
+    # role).  The EMPTINESS verdict (ε* vs ±tol, dual-activity flags) is
+    # value-determined, but the witness POINT x* is selection-dependent:
+    # the pivot engine returns a vertex of the margin-optimal face where
+    # ADMM lands interior-ish, and downstream enumeration steers by the
+    # witness.  Measured: "host" makes most zoo models ~2x faster but
+    # drives robust_avoid(T=2) into a cycling failure — so the default
+    # stays "admm" (matching the reference's OSQP witness character);
+    # "host" is an opt-in speed knob for models known to tolerate it.
+    exemplar_engine: str = os.environ.get("QPN_EXEMPLAR_ENGINE", "admm")
+    # Engine for VERDICT-ONLY emptiness/membership queries (is_empty,
+    # is_empty_batch, partial-x membership): the verdict is determined by
+    # the unique ε*, so the native pivot engine is trajectory-safe here;
+    # its vertex witnesses are quarantined in a separate cache namespace.
+    empty_engine: str = os.environ.get("QPN_EMPTY_ENGINE", "host")
 
 
 def pallas_screen_enabled() -> bool:

@@ -65,7 +65,8 @@ def _group_indices(shapes):
 #  exemplar / emptiness
 # --------------------------------------------------------------------------
 
-def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2):
+def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2,
+                   _verdict_only: bool = False):
     """Batched ε-inflation feasibility check (sets.jl:591-642).
 
     For each poly solves  min ε  s.t. Ax + ε ≥ l, −Ax + ε ≥ −u  and decides:
@@ -73,6 +74,13 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2):
     nonzero on an open row); else nonempty with ``example = x*``.
 
     Returns (empty: bool array, examples: list of x or None).
+
+    ``_verdict_only=True`` (the is_empty/is_empty_batch path) allows the
+    native exact-pivot engine: the EMPTINESS verdict is value-determined
+    (ε* is unique), so the engines agree on it — but the witness POINT is
+    selection-dependent (vertex vs interior-ish), so verdict-only results
+    are cached in a separate namespace and their witnesses never leak to
+    witness-consuming callers.
     """
     B = len(polys)
     empty = np.zeros(B, dtype=bool)
@@ -80,12 +88,22 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2):
     if B == 0:
         return empty, examples
 
-    # content-addressed memo: emptiness/exemplar are pure in the poly
+    from ..config import CONFIG as _CFG
+    use_host = (_CFG.exemplar_engine == "host"
+                or (_verdict_only and _CFG.empty_engine == "host"))
+    if use_host:
+        from ..utils.native import native_available
+        use_host = native_available()
+    # content-addressed memo: emptiness/exemplar are pure in the poly.
+    # Witness-grade entries live under b"exemplar"; host verdict-only
+    # entries under b"empty" (verdict consumers accept either).
     from .query_cache import CACHE, poly_key
     keys = [(b"exemplar", poly_key(p), round(tol, 9)) for p in polys]
     todo = []
     for i, k in enumerate(keys):
         hit = CACHE.get(k)
+        if hit is None and _verdict_only:
+            hit = CACHE.get((b"empty",) + k[1:])
         if hit is not None:
             empty[i], examples[i] = hit
         else:
@@ -128,9 +146,74 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2):
             ls.append(ll)
             us.append(uu)
             masks.append(mask)
-        sol = batch_qp.solve_qp_batch_padded(
-            np.array(Ps), np.array(qs), np.array(As), np.array(ls),
-            np.array(us), np.array(masks))
+        sol = None
+        host_lane = np.zeros(len(idxs), dtype=bool)
+        if use_host and not (_CFG.exemplar_engine == "host"):
+            # Verdict-only host screen.  The verdict is value-determined
+            # (ε* unique) EXCEPT when the poly has strict rows and ε*
+            # falls in the (−tol, tol] boundary band, where the decision
+            # reads dual activity — which is selection-dependent.  The
+            # host engine therefore decides only the clean lanes; the
+            # boundary band re-solves with the ADMM engine so the
+            # decision procedure stays identical to the witness path.
+            from ..ops.lemke import solve_lp_host_batch
+            hs = solve_lp_host_batch(
+                np.array(qs), np.array(As), np.array(ls), np.array(us),
+                np.array(masks))
+            if hs is not None:
+                for k, i in enumerate(idxs):
+                    p = polys[i]
+                    if p.m == 0:
+                        host_lane[k] = True
+                        continue
+                    stk = int(np.asarray(hs.status)[k])
+                    epsk = float(np.asarray(hs.x)[k, p.dim])
+                    has_strict = bool(np.any(
+                        (p.strict_l & np.isfinite(p.l))
+                        | (p.strict_u & np.isfinite(p.u))))
+                    if stk == batch_qp.DUAL_INFEASIBLE:
+                        host_lane[k] = True          # strictly feasible
+                    elif stk == batch_qp.SOLVED and (
+                            not has_strict or epsk > tol or epsk <= -tol):
+                        host_lane[k] = True
+                if host_lane.all():
+                    sol = hs
+                elif host_lane.any():
+                    sub = [j for j, h in enumerate(host_lane) if not h]
+                    ss = batch_qp.solve_qp_batch_padded(
+                        np.array([Ps[j] for j in sub]),
+                        np.array([qs[j] for j in sub]),
+                        np.array([As[j] for j in sub]),
+                        np.array([ls[j] for j in sub]),
+                        np.array([us[j] for j in sub]),
+                        np.array([masks[j] for j in sub]), eps=1e-6)
+                    X = np.array(hs.x)
+                    Y = np.array(hs.y)
+                    St = np.array(hs.status)
+                    X[sub] = np.asarray(ss.x)
+                    Y[sub] = np.asarray(ss.y)
+                    St[sub] = np.asarray(ss.status)
+                    sol = batch_qp.QPSolution(
+                        x=X, y=Y, z=hs.z, obj=hs.obj, status=St,
+                        prim_res=hs.prim_res, dual_res=hs.dual_res,
+                        iters=hs.iters)
+        elif use_host:
+            # opt-in full host exemplar engine (witness-grade by request)
+            from ..ops.lemke import solve_lp_host_batch
+            sol = solve_lp_host_batch(
+                np.array(qs), np.array(As), np.array(ls), np.array(us),
+                np.array(masks))
+            host_lane[:] = sol is not None
+        if sol is None:
+            # eps 1e-6: the ε*/dual decisions here compare against
+            # tol=1e-2 / 1e-6, and the terminal active-set polish inside
+            # the ADMM kernel recovers ~1e-10 residuals once the active
+            # set is identified — the default 1e-9 first-order tolerance
+            # costs thousands of extra lockstep iterations on these
+            # min-margin LPs for nothing
+            sol = batch_qp.solve_qp_batch_padded(
+                np.array(Ps), np.array(qs), np.array(As), np.array(ls),
+                np.array(us), np.array(masks), eps=1e-6)
         X = np.asarray(sol.x)
         Y = np.asarray(sol.y)
         St = np.asarray(sol.status)
@@ -164,10 +247,16 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2):
                     examples[i] = x
             else:
                 examples[i] = x
+    host_witness = use_host and not (_CFG.exemplar_engine == "host")
     for j, i in enumerate(todo):
         empty_all[i] = empty[j]
         examples_all[i] = examples[j]
-        CACHE.put(keys[i], (bool(empty[j]), examples[j]))
+        if host_witness:
+            # vertex-selected witness: cache the verdict only, in the
+            # verdict namespace — never as a witness-grade exemplar
+            CACHE.put((b"empty",) + keys[i][1:], (bool(empty[j]), None))
+        else:
+            CACHE.put(keys[i], (bool(empty[j]), examples[j]))
     return empty_all, examples_all
 
 
@@ -175,7 +264,7 @@ def is_empty(poly: Poly, tol: float = 1e-4, x=None) -> bool:
     """sets.jl:647-655: short-circuit on a witness point, else exemplar."""
     if x is not None and poly.contains(np.asarray(x)[: poly.dim], tol):
         return False
-    empty, _ = exemplar_batch([poly])
+    empty, _ = exemplar_batch([poly], _verdict_only=True)
     return bool(empty[0])
 
 
@@ -218,7 +307,8 @@ def is_empty_batch(polys: Sequence[Poly], tol: float = 1e-4, x=None):
                         "pallas feasibility screen failed (%s); falling "
                         "back to exact LPs", err)
     if need:
-        empty, _ = exemplar_batch([polys[i] for i in need])
+        empty, _ = exemplar_batch([polys[i] for i in need],
+                                  _verdict_only=True)
         for k, i in enumerate(need):
             out[i] = empty[k]
     return out
@@ -251,7 +341,8 @@ def contains_batch(polys: Sequence[Poly], xs, tol: float = 1e-6):
         shift = p.A[:, :nfix] @ x
         slices.append(Poly(p.A[:, nfix:], p.l - shift, p.u - shift,
                            p.strict_l, p.strict_u, normalize=False))
-    empty, _ = exemplar_batch(slices, tol=max(tol, 1e-6))
+    empty, _ = exemplar_batch(slices, tol=max(tol, 1e-6),
+                              _verdict_only=True)
     for k, i in enumerate(lp_idx):
         out[i] = not empty[k]
     return out
@@ -306,9 +397,30 @@ def support_batch(polys: Sequence[Poly], dirs: Sequence[np.ndarray]):
             ls.append(l)
             us.append(u)
             masks.append(mask)
-        sol = batch_qp.solve_qp_batch_padded(
-            np.array(Ps), np.array(qs), np.array(As), np.array(ls),
-            np.array(us), np.array(masks))
+        from ..config import CONFIG as _CFG
+        sol = None
+        if _CFG.support_engine == "host":
+            # native exact-shape pivot engine: support values are unique,
+            # so swapping the engine cannot alter downstream decisions
+            # (unlike argmin-dependent queries); ~60 exact pivots on a
+            # tiny tableau beat thousands of first-order iterations
+            from ..ops.lemke import solve_lp_host_batch
+            sol = solve_lp_host_batch(
+                np.array(qs), np.array(As), np.array(ls), np.array(us),
+                np.array(masks))
+        if sol is None and _CFG.support_engine == "lemke":
+            # jit pivot engine (bucket-padded KKT lift — slower on CPU,
+            # kept for engine cross-checks)
+            sol = batch_qp.solve_qp_batch_padded(
+                np.array(Ps), np.array(qs), np.array(As), np.array(ls),
+                np.array(us), np.array(masks), _prefer_lemke=True)
+        if sol is None:
+            # eps 1e-7 (vs default 1e-9): support values feed ⊆ margins at
+            # tol=1e-6; the terminal polish lands exact objectives once
+            # the optimal active set is identified
+            sol = batch_qp.solve_qp_batch_padded(
+                np.array(Ps), np.array(qs), np.array(As), np.array(ls),
+                np.array(us), np.array(masks), eps=1e-7)
         OBJ = np.asarray(sol.obj)
         St = np.asarray(sol.status)
         for k, i in enumerate(idxs):

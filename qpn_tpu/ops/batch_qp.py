@@ -322,7 +322,7 @@ def solve_qp_batch(P, q, A, l, u, row_mask, *, max_iter=4000, eps=1e-9,
 
 def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,
                           _no_broker=False, _sharding=None, _min_batch=1,
-                          **kw):
+                          _prefer_lemke=False, **kw):
     """Bucket-padded batched solve: pads the batch size, row count, and
     variable count up to the configured buckets so repeated calls with ragged
     shapes hit a handful of compiled kernels instead of recompiling
@@ -344,10 +344,12 @@ def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,
         br = active_broker()
         if br is not None:
             return br.submit("qp", P, q, A, l, u, row_mask,
-                             _no_lemke=_no_lemke, **kw)
+                             _no_lemke=_no_lemke,
+                             _prefer_lemke=_prefer_lemke, **kw)
 
     P = np.asarray(P, dtype=np.float64)
-    if (not _no_lemke and CONFIG.lp_engine in ("lemke", "check")
+    if (not _no_lemke
+            and (CONFIG.lp_engine in ("lemke", "check") or _prefer_lemke)
             and not kw and P.size and not P.any()):
         from .lemke import solve_lp_lemke_batch
         sol = solve_lp_lemke_batch(q, A, l, u, row_mask,
@@ -409,6 +411,33 @@ def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,
         Pp, qp_, Ap, lp, up, maskp = (
             jax.device_put(a, _sharding)
             for a in (Pp, qp_, Ap, lp, up, maskp))
+    tier1 = CONFIG.admm_tier1_iters
+    if "max_iter" not in kw and tier1 > 0:
+        # tier 1: short lockstep pass — most lanes converge well inside it
+        sol = solve_qp_batch(Pp, qp_, Ap, lp, up, maskp, max_iter=tier1,
+                             **kw)
+        status = np.asarray(sol.status[:B])
+        bad = np.nonzero(status == MAX_ITER)[0]
+        if bad.size == 0:
+            return QPSolution(
+                x=sol.x[:B, :n], y=sol.y[:B, :m], z=sol.z[:B, :m],
+                obj=sol.obj[:B], status=sol.status[:B],
+                prim_res=sol.prim_res[:B], dual_res=sol.dual_res[:B],
+                iters=sol.iters[:B])
+        # tier 2: full budget for the stragglers only (small batch); the
+        # outcome contract is identical to a single full-budget call —
+        # tier 1 merely caps how long converged lanes ride the lockstep
+        sub = solve_qp_batch_padded(
+            P[bad], q[bad], A[bad], l[bad], u[bad], row_mask[bad],
+            _no_lemke=_no_lemke, _no_broker=True, max_iter=4000, **kw)
+        out = {f: np.array(getattr(sol, f))[:B] for f in sol._fields}
+        out["x"] = out["x"][:, :n]
+        out["y"] = out["y"][:, :m]
+        out["z"] = out["z"][:, :m]
+        for f in sol._fields:
+            out[f][bad] = np.asarray(getattr(sub, f))
+        out["iters"][bad] += tier1
+        return QPSolution(**out)
     sol = solve_qp_batch(Pp, qp_, Ap, lp, up, maskp, **kw)
     return QPSolution(x=sol.x[:B, :n], y=sol.y[:B, :m], z=sol.z[:B, :m],
                       obj=sol.obj[:B], status=sol.status[:B],

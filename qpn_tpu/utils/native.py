@@ -58,6 +58,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.qpn_dedupe_rows.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_uint8)]
+        lib.qpn_lemke_batch.restype = None
+        lib.qpn_lemke_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64)]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -105,6 +113,45 @@ def quantize_hash(data: np.ndarray, digits: int = 5) -> np.ndarray:
         data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), rows, cols,
         digits, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)))
     return out
+
+
+def lemke_batch(M, q, l, u, z0=None, tol=1e-9, piv_tol=1e-11,
+                max_pivots=None, synth_scale=1e4):
+    """Native batched box-AVI complementary pivoting (exact shapes).
+
+    C++ port of the host oracle ops/lemke.py::solve_lemke_np — per-pivot
+    work on these small exact-shape tableaus is microseconds, so the
+    native loop beats any device dispatch for the geometry query LPs.
+    Returns (z (B,n), status (B,), pivots (B,)) or None when the native
+    library is unavailable (callers fall back to the JAX/numpy engines).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    M = np.ascontiguousarray(M, dtype=np.float64)
+    q = np.ascontiguousarray(q, dtype=np.float64)
+    l = np.ascontiguousarray(l, dtype=np.float64)
+    u = np.ascontiguousarray(u, dtype=np.float64)
+    B, n = q.shape
+    if max_pivots is None:
+        max_pivots = max(400, 20 * n)
+    z0p = ctypes.POINTER(ctypes.c_double)()
+    if z0 is not None:
+        z0 = np.ascontiguousarray(z0, dtype=np.float64)
+        z0p = z0.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    z = np.empty((B, n), dtype=np.float64)
+    status = np.empty(B, dtype=np.int32)
+    pivots = np.empty(B, dtype=np.int64)
+    lib.qpn_lemke_batch(
+        M.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        l.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        z0p, B, n, tol, piv_tol, int(max_pivots), synth_scale,
+        z.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        pivots.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return z, status, pivots
 
 
 def dedupe_rows_mask(data: np.ndarray, digits: int = 5) -> np.ndarray:
