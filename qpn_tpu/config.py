@@ -32,7 +32,9 @@ _CACHE_DIR = os.environ.get(
 try:
     os.makedirs(_CACHE_DIR, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # 0.1s threshold: the CPU path compiles ~100 small (<1s) kernels per
+    # fresh process; caching them cuts the cold-start of every zoo model
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 

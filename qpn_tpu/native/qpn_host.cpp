@@ -466,6 +466,11 @@ void qpn_lemke_batch(const double* M, const double* q, const double* l,
                      int64_t max_pivots, double synth_scale,
                      double* z_out, int32_t* status_out,
                      int64_t* pivots_out) {
+    // lanes are independent (lemke_one is pure; all scratch is per-call) —
+    // dynamic schedule because pivot counts vary wildly across lanes
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
     for (int64_t b = 0; b < B; ++b) {
         const double* z0b;
         double* zb = nullptr;

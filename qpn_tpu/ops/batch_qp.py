@@ -302,8 +302,11 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
                       prim_res=prim, dual_res=dual, iters=k)
 
 
-@functools.partial(jax.jit, static_argnames=("max_iter", "check_every",
-                                             "banded_k"))
+# max_iter is a TRACED scalar (it only feeds the while_loop condition and
+# an integer halving), so the two-tier straggler scheme (250 vs 4000) and
+# any caller-chosen budget share one compiled kernel per shape bucket —
+# halving the trace/compile count of the cold path.
+@functools.partial(jax.jit, static_argnames=("check_every", "banded_k"))
 def solve_qp_batch(P, q, A, l, u, row_mask, *, max_iter=4000, eps=1e-9,
                    rho0=0.1, sigma=1e-6, alpha=1.6, check_every=25,
                    banded_k=0):
@@ -414,35 +417,54 @@ def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,
     tier1 = CONFIG.admm_tier1_iters
     if "max_iter" not in kw and tier1 > 0:
         # tier 1: short lockstep pass — most lanes converge well inside it
-        sol = solve_qp_batch(Pp, qp_, Ap, lp, up, maskp, max_iter=tier1,
-                             **kw)
-        status = np.asarray(sol.status[:B])
-        bad = np.nonzero(status == MAX_ITER)[0]
+        sol = _np_solution(_call_kernel(Pp, qp_, Ap, lp, up, maskp,
+                                        max_iter=tier1, **kw), B, n, m)
+        bad = np.nonzero(sol.status == MAX_ITER)[0]
         if bad.size == 0:
-            return QPSolution(
-                x=sol.x[:B, :n], y=sol.y[:B, :m], z=sol.z[:B, :m],
-                obj=sol.obj[:B], status=sol.status[:B],
-                prim_res=sol.prim_res[:B], dual_res=sol.dual_res[:B],
-                iters=sol.iters[:B])
+            return sol
         # tier 2: full budget for the stragglers only (small batch); the
         # outcome contract is identical to a single full-budget call —
         # tier 1 merely caps how long converged lanes ride the lockstep
         sub = solve_qp_batch_padded(
             P[bad], q[bad], A[bad], l[bad], u[bad], row_mask[bad],
             _no_lemke=_no_lemke, _no_broker=True, max_iter=4000, **kw)
-        out = {f: np.array(getattr(sol, f))[:B] for f in sol._fields}
-        out["x"] = out["x"][:, :n]
-        out["y"] = out["y"][:, :m]
-        out["z"] = out["z"][:, :m]
+        out = {f: getattr(sol, f).copy() for f in sol._fields}
         for f in sol._fields:
             out[f][bad] = np.asarray(getattr(sub, f))
         out["iters"][bad] += tier1
         return QPSolution(**out)
-    sol = solve_qp_batch(Pp, qp_, Ap, lp, up, maskp, **kw)
-    return QPSolution(x=sol.x[:B, :n], y=sol.y[:B, :m], z=sol.z[:B, :m],
-                      obj=sol.obj[:B], status=sol.status[:B],
-                      prim_res=sol.prim_res[:B], dual_res=sol.dual_res[:B],
-                      iters=sol.iters[:B])
+    sol = _call_kernel(Pp, qp_, Ap, lp, up, maskp, **kw)
+    return _np_solution(sol, B, n, m)
+
+
+def _call_kernel(Pp, qp_, Ap, lp, up, maskp, **kw):
+    """Dispatch the batched ADMM kernel through the cross-process AOT
+    cache (utils/aot_cache): scalar knobs ride as traced inputs, the
+    jit-static knobs (check_every, banded_k) are baked per artifact and
+    encoded in the cache tag.  Sharded inputs fall back to the live jit
+    inside call_aot."""
+    from ..utils.aot_cache import call_aot
+    static = {k: kw[k] for k in ("check_every", "banded_k") if k in kw}
+    tag = "qp_batch|" + ",".join(f"{k}={v}" for k, v in sorted(static.items()))
+    return call_aot(tag, solve_qp_batch, Pp, qp_, Ap, lp, up, maskp, **kw)
+
+
+def _np_solution(sol, B, n, m):
+    """Materialize a padded device QPSolution as sliced numpy arrays.
+
+    One host transfer per field; slicing happens in numpy.  (Slicing the
+    jax Arrays instead compiles a one-off jit(dynamic_slice) per distinct
+    shape — measured at ~200 such micro-compiles per cold solve, the
+    dominant cold-start cost.)"""
+    X = np.asarray(sol.x)
+    Y = np.asarray(sol.y)
+    Z = np.asarray(sol.z)
+    return QPSolution(x=X[:B, :n], y=Y[:B, :m], z=Z[:B, :m],
+                      obj=np.asarray(sol.obj)[:B],
+                      status=np.asarray(sol.status)[:B],
+                      prim_res=np.asarray(sol.prim_res)[:B],
+                      dual_res=np.asarray(sol.dual_res)[:B],
+                      iters=np.asarray(sol.iters)[:B])
 
 
 def solve_qp_np(P, q, A, l, u, row_mask=None, **kw):

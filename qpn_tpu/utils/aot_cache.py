@@ -1,0 +1,292 @@
+"""Cross-process AOT kernel cache built on jax.export.
+
+Cold-start anatomy on this framework (measured, robust_avoid_simple):
+a fresh process pays ~2s of PYTHON TRACING per distinct shape bucket of
+the vmapped ADMM while_loop kernel (plus <0.3s XLA compile, which the
+persistent compilation cache in config.py already skips).  The reference
+binary (Julia + precompiled C solvers) pays nothing — "interactive feel"
+parity requires killing the tracing tax, not just the compile tax.
+
+jax.export serializes the traced StableHLO; deserializing it in a later
+process skips tracing entirely and re-uses the persistent XLA cache for
+the compile.  This module memoizes exported kernels on disk keyed by
+(tag, abstract signature, backend, source hash) and in memory per
+process.
+
+Export happens in a SUBPROCESS (aot_export_worker), never on a thread:
+exporting on a background thread while the main thread is also tracing
+corrupts the traced program (measured: artifacts whose StableHLO differs
+wholesale from a clean export and segfaults XLA:CPU at execution).  The
+worker additionally validates each artifact by round-tripping and
+EXECUTING it before install, so a bad program can only kill the worker.
+
+Scope: host-driver kernels with numpy in / numpy-consumed out (the
+geometry/verification batch kernels).  NOT used under jit or vmap; only
+active on the CPU backend (the worker must not claim the TPU — this
+image wedges on multi-process chip claims).
+
+Degrades gracefully: any failure (export unsupported, version skew,
+corrupt file) falls back to calling the live jitted function.  Disable
+with QPN_AOT_CACHE=0.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+_DIR = os.environ.get(
+    "QPN_AOT_CACHE_DIR", os.path.expanduser("~/.cache/qpn_tpu_aot"))
+_ENABLED = os.environ.get("QPN_AOT_CACHE", "1") != "0"
+_KEY_VERSION = "v2"     # bumped when the artifact pipeline changes
+
+_MEM: dict = {}
+_LOCK = threading.Lock()
+_REGISTERED = False
+_SRC_HASH: Optional[str] = None
+
+_PENDING: dict = {}              # key -> job dict (not yet handed off)
+_WORKER: Optional[subprocess.Popen] = None
+_WORKER_JOBFILE: Optional[str] = None
+
+
+def _src_hash() -> str:
+    """Content hash over the kernel-defining sources: an edit to any of
+    them invalidates every cached export (correctness over reuse)."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        import jax
+        h = hashlib.sha1(jax.__version__.encode())
+        root = os.path.dirname(os.path.dirname(__file__))
+        for rel in ("ops/batch_qp.py", "ops/banded.py", "ops/linalg.py",
+                    "ops/lemke.py"):
+            p = os.path.join(root, rel)
+            if os.path.exists(p):
+                h.update(open(p, "rb").read())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def _register_types() -> None:
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from jax import export as jexport
+    from ..ops.batch_qp import QPSolution
+    try:
+        jexport.register_namedtuple_serialization(
+            QPSolution, serialized_name="qpn_tpu.QPSolution")
+    except ValueError:
+        pass    # already registered
+    _REGISTERED = True
+
+
+def _sig_of(a):
+    if hasattr(a, "dtype") and hasattr(a, "shape"):
+        return str(a.dtype), list(a.shape)    # no materialization
+    a = np.asarray(a)
+    return str(a.dtype), list(a.shape)
+
+
+def _key(tag: str, args, kwargs) -> str:
+    import jax
+    backend = jax.default_backend()
+    # device count matters: executing an artifact exported under a
+    # 1-device runtime inside an N-virtual-device runtime (test meshes)
+    # segfaults XLA:CPU — measured, not hypothetical
+    ndev = jax.local_device_count()
+    sig = ",".join("%s%s" % _sig_of(a) for a in args)
+    ksig = ",".join("%s=%s%s" % ((k,) + _sig_of(v))
+                    for k, v in sorted(kwargs.items()))
+    raw = (f"{_KEY_VERSION}|{tag}|{backend}|d{ndev}|{sig}|{ksig}|"
+           f"{_src_hash()}")
+    return hashlib.sha1(raw.encode()).hexdigest()[:24]
+
+
+def call_aot(tag: str, jit_fn: Callable, *args, **kwargs):
+    """Call ``jit_fn(*args, **kwargs)`` through the AOT cache.
+
+    ``jit_fn`` must be a MODULE-LEVEL jax.jit-wrapped function (the
+    export worker re-imports it by ``module:name``); array args and
+    scalar kwargs become *inputs* of the exported module (scalars are
+    traced, not baked, so one artifact serves every value), while the
+    jit's static args are baked at export — encode their values in
+    ``tag``.  First use of a signature schedules a subprocess export;
+    later processes deserialize instead of re-tracing.
+    """
+    if not _ENABLED:
+        return jit_fn(*args, **kwargs)
+    # normalize scalar knobs to strong-typed numpy scalars so the live
+    # trace, the cache key, and the worker-exported artifact (built from
+    # dtype/shape specs) all agree on the input signature
+    kwargs = {k: (np.asarray(v) if isinstance(v, (bool, int, float))
+                  else v) for k, v in kwargs.items()}
+    try:
+        key = _key(tag, args, kwargs)
+    except Exception:
+        return jit_fn(*args, **kwargs)
+    fn = _MEM.get(key)
+    if fn is None:
+        with _LOCK:
+            fn = _MEM.get(key)
+            if fn is None:
+                fn = _load_or_schedule(key, jit_fn, args, kwargs)
+                _MEM[key] = fn
+    if fn is jit_fn:
+        return jit_fn(*args, **kwargs)
+    try:
+        return fn.call(*args, **kwargs)
+    except Exception:
+        # incompatible artifact: quarantine and go live
+        _MEM[key] = jit_fn
+        return jit_fn(*args, **kwargs)
+
+
+_WARM = False
+
+
+def _warmup_runtime() -> None:
+    """Register the lazily-initialized CPU linalg FFI handlers before any
+    deserialized artifact executes.  Measured failure mode: an exported
+    module whose cholesky/triangular-solve lowers to a LAPACK custom call
+    segfaults in any process that never lowered a linalg op through the
+    live jit path (the FFI targets register during lowering); one tiny
+    live compile (~0.1s, once per process) inoculates."""
+    global _WARM
+    if _WARM:
+        return
+    import jax
+    import jax.numpy as jnp
+    e = np.eye(2)
+
+    def _probe(a):
+        c = jnp.linalg.cholesky(a + 3 * jnp.eye(2))
+        t = jax.scipy.linalg.solve_triangular(c, e, lower=True)
+        qg, _ = jnp.linalg.qr(t)
+        return qg
+
+    jax.block_until_ready(jax.jit(_probe)(e))
+    _WARM = True
+
+
+def _subdir() -> str:
+    """Artifacts are segregated by backend and virtual device count so a
+    validator child never executes an artifact under a runtime different
+    from the one it was exported for."""
+    import jax
+    return os.path.join(
+        _DIR, f"{jax.default_backend()}-d{jax.local_device_count()}")
+
+
+def _load_or_schedule(key: str, jit_fn: Callable, args, kwargs):
+    """Disk hit (validated) → deserialized artifact.  Miss → return the
+    live jit NOW and schedule a subprocess export, so the first-ever run
+    never pays the export's second trace; the artifact serves the next
+    process once a NON-exporting process has validated it (``.ok``)."""
+    from jax import export as jexport
+    _register_types()
+    path = os.path.join(_subdir(), key + ".stablehlo")
+    if os.path.exists(path + ".ok") and os.path.exists(path):
+        try:
+            _warmup_runtime()
+            return jexport.deserialize(open(path, "rb").read())
+        except Exception:
+            for p in (path, path + ".ok"):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+    elif os.path.exists(path) or os.path.exists(path + ".bad"):
+        return jit_fn    # exported-not-yet-validated or tombstoned: live
+    _schedule_export(key, path, jit_fn, args, kwargs)
+    return jit_fn     # sentinel: call the live function this process
+
+
+def _fn_ref(jit_fn) -> Optional[str]:
+    mod = getattr(jit_fn, "__module__", None)
+    name = getattr(jit_fn, "__name__", None)
+    if not mod or not name:
+        return None
+    return f"{mod}:{name}"
+
+
+def _schedule_export(key, path, jit_fn, args, kwargs) -> None:
+    import jax
+    if jax.default_backend() != "cpu":
+        return      # the CPU-only worker can't lower/validate for TPU
+    ref = _fn_ref(jit_fn)
+    if ref is None:
+        return
+    _PENDING[key] = {
+        "fn": ref, "path": path,
+        "args": [_sig_of(a) for a in args],
+        "kwargs": {k: _sig_of(v) for k, v in kwargs.items()},
+        "ndev": jax.local_device_count(),
+    }
+    _flush_pending()
+
+
+def _flush_pending(force: bool = False) -> None:
+    """Hand pending jobs to ONE low-priority worker subprocess; while a
+    worker is running, later misses accumulate and flush when it exits
+    (polled on the next miss) or at interpreter exit."""
+    global _WORKER, _WORKER_JOBFILE
+    if _WORKER is not None:
+        if _WORKER.poll() is None and not force:
+            return
+        if _WORKER_JOBFILE:
+            try:
+                os.remove(_WORKER_JOBFILE)
+            except OSError:
+                pass
+        _WORKER, _WORKER_JOBFILE = None, None
+    if not _PENDING:
+        return
+    jobs = list(_PENDING.values())
+    _PENDING.clear()
+    fd, jobfile = tempfile.mkstemp(suffix=".json", prefix="qpn_aot_")
+    with os.fdopen(fd, "w") as f:
+        json.dump(jobs, f)
+    try:
+        _WORKER = subprocess.Popen(
+            [sys.executable, "-m", "qpn_tpu.utils.aot_export_worker",
+             jobfile],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            preexec_fn=lambda: os.nice(10))
+        _WORKER_JOBFILE = jobfile
+        import atexit
+        atexit.register(_drain_exports)
+    except Exception:
+        try:
+            os.remove(jobfile)
+        except OSError:
+            pass
+        _WORKER, _WORKER_JOBFILE = None, None
+
+
+def _drain_exports(timeout: float = 120.0) -> None:
+    """Flush remaining jobs and wait for the worker (tests; atexit)."""
+    global _WORKER, _WORKER_JOBFILE
+    while True:
+        if _WORKER is not None:
+            try:
+                _WORKER.wait(timeout=timeout)
+            except Exception:
+                _WORKER.kill()
+            if _WORKER_JOBFILE:
+                try:
+                    os.remove(_WORKER_JOBFILE)
+                except OSError:
+                    pass
+            _WORKER, _WORKER_JOBFILE = None, None
+        if not _PENDING:
+            return
+        _flush_pending(force=True)

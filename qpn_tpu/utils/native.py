@@ -38,9 +38,17 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(so):
         try:
             os.makedirs(cache, exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", src, "-o", so + ".tmp"],
-                check=True, capture_output=True, timeout=120)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", src,
+                     "-o", so + ".tmp"],
+                    check=True, capture_output=True, timeout=120)
+            except subprocess.CalledProcessError:
+                # toolchains without libgomp: serial build, same semantics
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", src, "-o",
+                     so + ".tmp"],
+                    check=True, capture_output=True, timeout=120)
             os.replace(so + ".tmp", so)
         except Exception:
             return None
