@@ -28,6 +28,12 @@ def main():
     backend = jax.devices()[0].platform
     import jax.numpy as jnp
 
+    # This is a controlled same-device comparison: the production
+    # small-dispatch CPU routing (config.small_qp_on_cpu) would silently
+    # move the B=1 sequential-baseline lane off-chip, so pin it off here.
+    from qpn_tpu.config import CONFIG
+    CONFIG.small_qp_on_cpu = False
+
     from qpn_tpu.models.robust_avoid import scenario_batch_gavis
     from qpn_tpu.ops.avi import (solve_avi_batch,  # noqa: F401
                                  solve_avi_batch_adaptive)

@@ -73,6 +73,15 @@ class NumericConfig:
     # only unconverged lanes re-solve with the full budget in a second,
     # much smaller batch.  0 disables tiering.
     admm_tier1_iters: int = 250
+    # On accelerator backends, run sub-threshold padded QP/LP batches on
+    # the LOCAL CPU backend: geometry/verification LPs are host-algorithm
+    # glue (the reference solves them in-process with OSQP), and every
+    # accelerator dispatch pays a device round-trip — through a network
+    # tunnel on this image — that dwarfs the solve.  The accelerator
+    # keeps the large structured AVI batches.  Threshold in elements of
+    # the padded P tensor (B * n * n).
+    small_qp_on_cpu: bool = True
+    small_qp_cpu_max_elems: int = 1 << 17
     # Engine for pure LPs (support / emptiness / membership queries):
     # "admm" (default) = the first-order OSQP-style kernel — its
     # interior-ish selection among alternative optima matches the
@@ -109,9 +118,42 @@ class NumericConfig:
     empty_engine: str = os.environ.get("QPN_EMPTY_ENGINE", "host")
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def small_dispatch_device(n_elems: int):
+    """Route sub-threshold kernel dispatches to the LOCAL CPU backend when
+    the default backend is an accelerator (see ``small_qp_on_cpu``).
+
+    The host-algorithm glue solves (geometry LPs, tiny QEP AVIs) are
+    latency-bound: each accelerator dispatch pays a device round-trip —
+    through a network tunnel on this image — that dwarfs the math.  The
+    accelerator keeps the large batched ensembles (`n_elems` above the
+    threshold).  Yields True when the CPU override is active."""
+    if (CONFIG.small_qp_on_cpu and n_elems <= CONFIG.small_qp_cpu_max_elems
+            and jax.default_backend() != "cpu"):
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                yield True
+            return
+    yield False
+
+
 def pallas_screen_enabled() -> bool:
     if CONFIG.use_pallas_screen is not None:
         return CONFIG.use_pallas_screen
+    if CONFIG.empty_engine == "host":
+        # the native exact pivot engine answers the same query in-process
+        # faster than one accelerator round-trip (a network tunnel here),
+        # so the device-side screen only adds latency
+        from .utils.native import native_available
+        if native_available():
+            return False
     import jax
     return jax.default_backend() == "tpu"
 

@@ -357,6 +357,18 @@ def solve_avi_batch_adaptive(M, q, l, u, z0, var_mask, *, tol=1e-10,
     """
     M = np.asarray(M, dtype=np.float64)
     B, n, _ = M.shape
+    from ..config import small_dispatch_device
+    with small_dispatch_device(M.size) as on_cpu:
+        if on_cpu:
+            onchip_eg_steps = 0    # Mosaic pre-pass is accelerator-only
+        return _solve_avi_batch_adaptive_impl(
+            M, q, l, u, z0, var_mask, tol=tol, budgets=budgets, mixed=mixed,
+            onchip_eg_steps=onchip_eg_steps)
+
+
+def _solve_avi_batch_adaptive_impl(M, q, l, u, z0, var_mask, *, tol,
+                                   budgets, mixed, onchip_eg_steps):
+    B, n, _ = M.shape
     solver = solve_avi_batch_mixed if mixed else solve_avi_batch
     z_out = np.array(z0, dtype=np.float64, copy=True)
     resid_out = np.full(B, np.inf)
@@ -506,6 +518,15 @@ def solve_kkt_avi_batch(M, q, l, u, var_mask, structure, tol=1e-10,
     """
     M = np.asarray(M, dtype=np.float64)
     q = np.asarray(q, dtype=np.float64)
+    B, n, _ = M.shape
+    from ..config import small_dispatch_device
+    with small_dispatch_device(M.size):
+        return _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure,
+                                         tol, qp_dtype, method)
+
+
+def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
+                              qp_dtype, method):
     B, n, _ = M.shape
     if method == "lemke":
         # exact-shape call: scenario/KKT ensembles have one stable (B, n) per

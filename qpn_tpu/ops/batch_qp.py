@@ -442,11 +442,23 @@ def _call_kernel(Pp, qp_, Ap, lp, up, maskp, **kw):
     cache (utils/aot_cache): scalar knobs ride as traced inputs, the
     jit-static knobs (check_every, banded_k) are baked per artifact and
     encoded in the cache tag.  Sharded inputs fall back to the live jit
-    inside call_aot."""
+    inside call_aot.
+
+    On accelerator backends, sub-threshold batches run on the LOCAL CPU
+    backend instead (``config.small_qp_on_cpu``): these geometry/
+    verification LPs are host-algorithm glue — the reference runs them
+    in-process in OSQP — and each accelerator dispatch costs a device
+    round-trip (through a network tunnel on this image) that dwarfs the
+    solve itself.  The accelerator keeps the big structured AVI batches.
+    """
+    from ..config import small_dispatch_device
     from ..utils.aot_cache import call_aot
     static = {k: kw[k] for k in ("check_every", "banded_k") if k in kw}
     tag = "qp_batch|" + ",".join(f"{k}={v}" for k, v in sorted(static.items()))
-    return call_aot(tag, solve_qp_batch, Pp, qp_, Ap, lp, up, maskp, **kw)
+    n_elems = Pp.size if isinstance(Pp, np.ndarray) else 1 << 30
+    with small_dispatch_device(n_elems):
+        return call_aot(tag, solve_qp_batch, Pp, qp_, Ap, lp, up, maskp,
+                        **kw)
 
 
 def _np_solution(sol, B, n, m):

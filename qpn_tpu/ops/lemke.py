@@ -644,8 +644,10 @@ def solve_lemke_batch_padded(M, q, l, u, z0, var_mask, tol=1e-9):
     mp = np.zeros((Bp, np_), dtype=bool)
     mp[:B, :n] = var_mask
     max_pivots = int(min(4096, 16 * np_ + 256))
-    z, status, piv = solve_lemke_batch(Mp, *pads, mp, tol=tol,
-                                       max_pivots=max_pivots)
+    from ..config import small_dispatch_device
+    with small_dispatch_device(Mp.size):
+        z, status, piv = solve_lemke_batch(Mp, *pads, mp, tol=tol,
+                                           max_pivots=max_pivots)
     return (np.asarray(z)[:B, :n], np.asarray(status)[:B],
             np.asarray(piv)[:B])
 
