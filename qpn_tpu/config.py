@@ -82,6 +82,14 @@ class NumericConfig:
     # the padded P tensor (B * n * n).
     small_qp_on_cpu: bool = True
     small_qp_cpu_max_elems: int = 1 << 17
+    # Pivot-loop kernel for the batched f32 Lemke engine: "auto" (default)
+    # = the fused Pallas kernel (ops/lemke_pallas.py — whole batch tableau
+    # resident in VMEM, one-hot masked row/column selection, zero HBM
+    # traffic between pivots) on the TPU backend, the XLA while_loop lane
+    # elsewhere; "pallas" forces the fused kernel (interpret-mode off-TPU —
+    # CI correctness runs); "xla" forces the while_loop route.
+    # Env override: QPN_LEMKE_KERNEL.
+    lemke_kernel: str = os.environ.get("QPN_LEMKE_KERNEL", "auto")
     # Engine for pure LPs (support / emptiness / membership queries):
     # "admm" (default) = the first-order OSQP-style kernel — its
     # interior-ish selection among alternative optima matches the

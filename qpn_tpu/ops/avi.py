@@ -544,13 +544,13 @@ def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
         # TPU); a short f64 Newton polish then lands machine-precision
         # values from the f32-accurate point.  Lanes the audit rejects
         # re-pivot in f64.
-        from .lemke import refactor_batch_np, solve_lemke_batch_state
+        from .lemke import refactor_batch_np, solve_lemke_batch_state_auto
         f32 = functools.partial(np.asarray, dtype=np.float32)
         l64 = np.asarray(l, dtype=np.float64)
         u64 = np.asarray(u, dtype=np.float64)
         vm = np.asarray(var_mask, dtype=bool)
         z32, st32, pivL, basis32, val32 = (np.asarray(a) for a in
-                                           solve_lemke_batch_state(
+                                           solve_lemke_batch_state_auto(
             f32(M), f32(q), f32(l64), f32(u64),
             np.zeros((B, n), dtype=np.float32), vm, tol=1e-6, piv_tol=1e-5,
             max_pivots=max_pivots))

@@ -305,13 +305,32 @@ def _extract_np(n, basis, val, xB):
 #  Batched fixed-shape JAX kernel
 # --------------------------------------------------------------------------
 
-def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
-                  synth_scale, cover):
-    """One lane of the batched pivot loop (vmapped by solve_lemke_batch).
+class LemkeInit(NamedTuple):
+    """Shared pre-pivot state (synthetic boxes applied, first pivot done).
 
-    Mirrors :func:`solve_lemke_np` with masks instead of branches; every
-    array is fixed-shape, the while_loop carries (T, basis, val, entering…).
-    """
+    Produced by :func:`_lemke_setup`, consumed by both the XLA while_loop
+    lane (:func:`_lemke_single`) and the Pallas fused kernel
+    (ops/lemke_pallas.py) so the two engines follow the identical
+    almost-complementary path."""
+    T1: jnp.ndarray            # (n, 3n+2) tableau after t entered
+    T0t: jnp.ndarray           # pre-pivot tableau, t column zeroed
+    basis1: jnp.ndarray        # (n,) basis after first pivot
+    basis0: jnp.ndarray        # (n,) slack start basis
+    val0: jnp.ndarray          # (3n+1,) nonbasic values
+    ent0: jnp.ndarray          # () entering variable id
+    dir0: jnp.ndarray          # () entering direction
+    ev0: jnp.ndarray           # () entering start value
+    status_init: jnp.ndarray   # () 0 = keep pivoting
+    solved_at_start: jnp.ndarray
+    var_lb: jnp.ndarray        # (3n+1,)
+    var_ub: jnp.ndarray        # (3n+1,)
+    l_eff: jnp.ndarray         # (n,) synthetically boxed bounds
+    u_eff: jnp.ndarray         # (n,)
+
+
+def _lemke_setup(M, q, l, u, z0, var_mask, *, tol, synth_scale, cover):
+    """Everything before the pivot loop: masking, synthetic boxes, slack
+    basis, covering direction, first pivot (t enters)."""
     n = q.shape[0]
     dt = q.dtype
     T_ID = 3 * n
@@ -352,7 +371,6 @@ def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
     sign = jnp.where(at_lower, -1.0, 1.0)
     T0 = sign[:, None] * jnp.concatenate(
         [M, -eye, eye, jnp.zeros((n, 1), dt), -q[:, None]], axis=1)
-    bad_init = jnp.asarray(False)
 
     def basic_values(T, basis, val):
         nb = val.at[basis].set(0.0)
@@ -379,8 +397,41 @@ def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
 
     ent0, dir0, ev0 = _complement_jax(exiting0, val0, l, u, n)
 
-    status_init = jnp.where(bad_init, LEMKE_SINGULAR,
-                            jnp.where(solved_at_start, LEMKE_SUCCESS, 0))
+    status_init = jnp.where(solved_at_start, LEMKE_SUCCESS, 0)
+    return LemkeInit(T1=T1, T0t=T0.at[:, T_ID].set(0.0), basis1=basis1,
+                     basis0=basis0, val0=val0, ent0=ent0, dir0=dir0,
+                     ev0=ev0, status_init=status_init,
+                     solved_at_start=solved_at_start, var_lb=var_lb,
+                     var_ub=var_ub, l_eff=l, u_eff=u)
+
+
+def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
+                  synth_scale, cover):
+    """One lane of the batched pivot loop (vmapped by solve_lemke_batch).
+
+    Mirrors :func:`solve_lemke_np` with masks instead of branches; every
+    array is fixed-shape, the while_loop carries (T, basis, val, entering…).
+    """
+    n = q.shape[0]
+    dt = q.dtype
+    T_ID = 3 * n
+    init = _lemke_setup(M, q, l, u, z0, var_mask, tol=tol,
+                        synth_scale=synth_scale, cover=cover)
+    M = jnp.where(var_mask[:, None] & var_mask[None, :], M,
+                  jnp.eye(n, dtype=dt))
+    q = jnp.where(var_mask, q, 0.0)
+    l, u = init.l_eff, init.u_eff
+    var_lb, var_ub = init.var_lb, init.var_ub
+    solved_at_start = init.solved_at_start
+    T0, T1 = init.T0t, init.T1
+    basis0, basis1, val0 = init.basis0, init.basis1, init.val0
+    ent0, dir0, ev0 = init.ent0, init.dir0, init.ev0
+    status_init = init.status_init
+    inf = jnp.asarray(_INF, dtype=dt)
+
+    def basic_values(T, basis, val):
+        nb = val.at[basis].set(0.0)
+        return T[:, -1] - T[:, :3 * n + 1] @ nb
 
     def cond(state):
         T, basis, val, entering, ent_dir, ent_val, k, status = state
@@ -468,7 +519,7 @@ def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
     status = jnp.where(status == 0, LEMKE_MAX, status)
 
     # solved-at-start lanes keep their pre-pivot state
-    T = jnp.where(solved_at_start, T0.at[:, T_ID].set(0.0), T)
+    T = jnp.where(solved_at_start, T0, T)
     basis = jnp.where(solved_at_start, basis0, basis)
     xB = basic_values(T, basis, val)
 
@@ -555,6 +606,35 @@ def solve_lemke_batch_state(M, q, l, u, z0, var_mask, tol=1e-9,
     return jax.vmap(lambda M_, q_, l_, u_, z_, vm: fn(M_, q_, l_, u_, z_,
                                                       vm))(
         M, q, l, u, z0, var_mask)
+
+
+def solve_lemke_batch_state_auto(M, q, l, u, z0, var_mask, tol=1e-9,
+                                 piv_tol=1e-11, max_pivots: int = 512,
+                                 synth_scale=1e4, cover: str = "viol"):
+    """Engine-dispatching form of :func:`solve_lemke_batch_state`.
+
+    ``config.lemke_kernel`` picks the pivot-loop implementation: the fused
+    Pallas kernel on TPU (``auto``; VMEM-resident tableaus — see
+    ops/lemke_pallas.py), the XLA ``while_loop`` lane elsewhere.  Any
+    Pallas failure falls back to the XLA route (visible in metrics).
+    """
+    from ..config import CONFIG
+    mode = CONFIG.lemke_kernel
+    backend = jax.default_backend()
+    use_pallas = (backend == "tpu") if mode == "auto" else (mode == "pallas")
+    if use_pallas:
+        try:
+            from .lemke_pallas import solve_lemke_batch_state_pallas
+            return solve_lemke_batch_state_pallas(
+                M, q, l, u, z0, var_mask, tol=tol, piv_tol=piv_tol,
+                max_pivots=max_pivots, synth_scale=synth_scale, cover=cover,
+                interpret=(backend != "tpu"))
+        except Exception:
+            from ..utils.metrics import METRICS
+            METRICS.bump("lemke_pallas_fallback", 1)
+    return solve_lemke_batch_state(M, q, l, u, z0, var_mask, tol=tol,
+                                   piv_tol=piv_tol, max_pivots=max_pivots,
+                                   synth_scale=synth_scale, cover=cover)
 
 
 def refactor_batch_np(M, q, l, u, basis, val, var_mask):
