@@ -621,6 +621,12 @@ def solve_lemke_batch_state_auto(M, q, l, u, z0, var_mask, tol=1e-9,
     from ..config import CONFIG
     mode = CONFIG.lemke_kernel
     backend = jax.default_backend()
+    # the small-dispatch CPU override (config.small_dispatch_device) moves
+    # sub-threshold batches to the local CPU backend without changing
+    # default_backend(); honor it so Mosaic never targets a CPU placement
+    dev = getattr(jax.config, "jax_default_device", None)
+    if dev is not None and getattr(dev, "platform", None):
+        backend = dev.platform
     use_pallas = (backend == "tpu") if mode == "auto" else (mode == "pallas")
     if use_pallas:
         try:

@@ -45,11 +45,14 @@ _INF = np.inf
 
 
 def _pick_tile(B: int, n: int, W: int, itemsize: int = 4,
-               budget_bytes: int = 4 << 20) -> int:
-    """Largest power-of-two lane tile whose tableau fits the VMEM budget
-    (~4MB leaves headroom for the carry copies Mosaic keeps live)."""
+               budget_bytes: int = 12 << 20, live_copies: int = 12) -> int:
+    """Largest power-of-two lane tile that keeps the pivot loop's live
+    tableau-sized buffers inside VMEM.  Mosaic stack-allocates roughly a
+    dozen (TB, n, W) temporaries per iteration (carry double-buffer, the
+    rank-1 update products, the masked column selects) — measured: the
+    2-copy model OOMs at n=38/TB=128, the 12-copy model compiles."""
     tb = 1
-    while tb < B and 2 * tb * n * W * itemsize <= budget_bytes:
+    while tb < B and live_copies * 2 * tb * n * W * itemsize <= budget_bytes:
         tb *= 2
     return min(tb, B)
 
@@ -60,29 +63,60 @@ def _onehot_eq(iota, idx):
 
 
 def _gather(arr, onehot, zero):
-    """Per-lane scalar gather as a masked reduction: arr (TB,K) -> (TB,1)."""
-    return jnp.sum(jnp.where(onehot, arr, zero), axis=1, keepdims=True)
+    """Per-lane scalar gather as a masked reduction: arr (TB,K) -> (TB,1).
+
+    Integer arrays reduce through f32 (Mosaic rejects some integer
+    reduction kinds; every integer here is a variable id < 3n+2, exact in
+    f32) and the result is cast back."""
+    if jnp.issubdtype(arr.dtype, jnp.integer):
+        s = jnp.sum(jnp.where(onehot, arr, zero).astype(jnp.float32),
+                    axis=1, keepdims=True)
+        return s.astype(arr.dtype)
+    return jnp.sum(jnp.where(onehot, arr, zero), axis=1, keepdims=True,
+                   dtype=arr.dtype)
 
 
 def _argtrue(mask, iota_n, n):
-    """Index of the first True per lane (n when none): (TB, n) -> (TB, 1)."""
-    return jnp.min(jnp.where(mask, iota_n, n), axis=1, keepdims=True)
+    """Index of the first True per lane (n when none): (TB, n) -> (TB, 1).
+    Reduces in f32 (exact for the small n here) for Mosaic portability."""
+    m = jnp.min(jnp.where(mask, iota_n, n).astype(jnp.float32),
+                axis=1, keepdims=True)
+    return m.astype(jnp.int32)
 
 
 def _make_kernel(n: int, max_pivots: int, tol: float, piv_tol: float):
-    W = 3 * n + 2
+    # The tableau rides as TWO arrays — the variable columns Tv (TB, n,
+    # 3n+1: z|u|v|t) and the rhs column (TB, n) — because Mosaic rejects
+    # static single-lane extraction / minor-dim slicing of a 3D array
+    # (T[:, :, -1], T[:, :, :W1]); split, every op is a full-array
+    # elementwise/broadcast/reduce the compiler handles natively.
     W1 = 3 * n + 1
     T_ID = 3 * n
 
-    def kernel(T_ref, basis_ref, val_ref, blb_ref, bub_ref, vlb_ref,
-               vub_ref, leff_ref, ueff_ref, ent_ref, dir_ref, ev_ref,
-               st_ref, xB_out, basis_out, val_out, piv_out, st_out):
-        TB = T_ref.shape[0]
-        dt = T_ref.dtype
+    def kernel(Tv_ref, rhs_ref, basis_ref, val_ref, blb_ref, bub_ref,
+               vlb_ref, vub_ref, leff_ref, ueff_ref, ent_ref, dir_ref,
+               ev_ref, st_ref, xB_out, basis_out, val_out, piv_out,
+               st_out):
+        TB = Tv_ref.shape[0]
+        dt = Tv_ref.dtype
+        # Mosaic only lowers 32-bit scalars: every Python literal below is
+        # dtype-pinned so no weak-typed f64/i64 constant enters the kernel
+        # (with jax_enable_x64 a bare `0.0`/`n` would trace as 64-bit)
         inf = jnp.asarray(_INF, dt)
+        zero = jnp.asarray(0.0, dt)
+        one = jnp.asarray(1.0, dt)
+        tolc = jnp.asarray(tol, dt)
+        ptol = jnp.asarray(piv_tol, dt)
+        lexeps = jnp.asarray(1e-12, dt)   # matches the XLA engine exactly
+        i0, i1 = jnp.int32(0), jnp.int32(1)
+        ni, n2i, tid = jnp.int32(n), jnp.int32(2 * n), jnp.int32(T_ID)
+        mpiv = jnp.int32(max_pivots)
+        s_ray = jnp.int32(LEMKE_RAY)
+        s_sing = jnp.int32(LEMKE_SINGULAR)
+        s_succ = jnp.int32(LEMKE_SUCCESS)
+        s_max = jnp.int32(LEMKE_MAX)
         iota_n = jax.lax.broadcasted_iota(jnp.int32, (TB, n), 1)
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (TB, W), 1)
-        iota_w1 = iota_w[:, :W1]
+        iota_w1 = jax.lax.broadcasted_iota(jnp.int32, (TB, W1), 1)
 
         vlb = vlb_ref[...]
         vub = vub_ref[...]
@@ -90,119 +124,145 @@ def _make_kernel(n: int, max_pivots: int, tol: float, piv_tol: float):
         ueff = ueff_ref[...]
 
         def cond(c):
-            _T, _b, _v, _bl, _bu, _e, _d, _ev, _p, st, kg = c
-            return (kg < max_pivots) & jnp.any(st == 0)
+            _T, _r, _b, _v, _bl, _bu, _e, _d, _ev, _p, st, kg = c
+            # scalar bool/int reductions trip Mosaic (reduce_or builds an
+            # f64 scalar under x64; some integer reduction kinds are
+            # rejected outright) — reduce in f32, exact for these values
+            return (kg < mpiv) & (jnp.min(st.astype(jnp.float32))
+                                  == jnp.float32(0))
 
         def body(c):
-            T, basis, val, blb, bub, ent, edir, ev, piv, st, kg = c
-            active = st == 0                              # (TB, 1)
+            Tv, rhs, basis, val, blb, bub, ent, edir, ev, piv, st, kg = c
+            active = st == i0                             # (TB, 1)
 
             # entering variable temporarily carries its start value
             oh_e1 = _onehot_eq(iota_w1, ent)              # (TB, W1)
             val_i = jnp.where(oh_e1 & active, ev, val)
 
-            # basic values: rhs − T[:, :, :W1] @ nonbasic values
-            xB = T[:, :, W - 1] - jnp.sum(
-                T[:, :, :W1] * val_i[:, None, :], axis=2)  # (TB, n)
+            # basic values: rhs − Tv @ nonbasic values
+            xB = rhs - jnp.sum(Tv * val_i[:, None, :], axis=2)  # (TB, n)
 
             # entering column and ratio test
-            oh_ew = _onehot_eq(iota_w, ent)               # (TB, W)
-            colT = jnp.sum(jnp.where(oh_ew[:, None, :], T, 0.0), axis=2)
+            colT = jnp.sum(jnp.where(oh_e1[:, None, :], Tv, zero), axis=2)
             d = edir * colT                               # (TB, n)
             theta = jnp.where(
-                d > piv_tol, (xB - blb) / jnp.where(d > piv_tol, d, 1.0),
-                jnp.where(d < -piv_tol,
-                          (xB - bub) / jnp.where(d < -piv_tol, d, 1.0),
+                d > ptol, (xB - blb) / jnp.where(d > ptol, d, one),
+                jnp.where(d < -ptol,
+                          (xB - bub) / jnp.where(d < -ptol, d, one),
                           inf))
-            theta = jnp.maximum(jnp.where(jnp.isnan(theta), inf, theta), 0.0)
-            ent_lb = _gather(vlb, oh_e1, 0.0)
-            ent_ub = _gather(vub, oh_e1, 0.0)
-            theta_e = jnp.where(edir > 0, ent_ub - ev, ev - ent_lb)
+            theta = jnp.maximum(jnp.where(jnp.isnan(theta), inf, theta),
+                                zero)
+            ent_lb = _gather(vlb, oh_e1, zero)
+            ent_ub = _gather(vub, oh_e1, zero)
+            theta_e = jnp.where(edir > zero, ent_ub - ev, ev - ent_lb)
             tstar = jnp.min(theta, axis=1, keepdims=True)
 
             is_ray = ~jnp.isfinite(tstar) & ~jnp.isfinite(theta_e)
             do_flip = ~is_ray & (theta_e <= tstar)
 
             # ---- bound flip branch (no basis change) ----------------------
-            i_e = ent % n
-            flip_newval = jnp.where(edir > 0, ent_ub, ent_lb)
-            flip_entering = jnp.where(edir > 0, 2 * n + i_e, n + i_e)
+            i_e = ent % ni
+            flip_newval = jnp.where(edir > zero, ent_ub, ent_lb)
+            flip_entering = jnp.where(edir > zero, n2i + i_e, ni + i_e)
 
             # ---- pivot row selection --------------------------------------
-            tie = theta <= tstar + tol * (1.0 + jnp.abs(tstar))
-            t_row = basis == T_ID                         # (TB, n)
-            pick_t = jnp.any(tie & t_row, axis=1, keepdims=True)
-            safe_d = jnp.where(jnp.abs(d) > piv_tol, d, 1.0)
+            tie = theta <= tstar + tolc * (one + jnp.abs(tstar))
+            t_row = basis == tid                          # (TB, n)
+            pick_t = jnp.sum((tie & t_row).astype(dt), axis=1,
+                             keepdims=True) > zero
+            safe_d = jnp.where(jnp.abs(d) > ptol, d, one)
 
             # lexicographic refinement over the −B⁻¹ (u-column) block;
-            # early-exit: the typical pivot has a unique minimum ratio
+            # early-exit: the typical pivot has a unique minimum ratio.
+            # Mask carries ride as 0/1 floats — Mosaic rejects boolean
+            # while_loop carries (measured: "unsupported target bitwidth
+            # for truncation")
+            half = jnp.asarray(0.5, dt)
+
             def lex_cond(lc):
-                kk, cand, need = lc
-                return (kk < n) & jnp.any(need)
+                kk, cand_f, need_f = lc
+                return (kk < ni) & (jnp.max(need_f) > zero)
 
             def lex_body(lc):
-                kk, cand, need = lc
+                # all mask algebra in 0/1 floats: boolean-VALUED selects
+                # (jnp.where over i1 operands) are the other construct
+                # Mosaic rejects ("unsupported target bitwidth for
+                # truncation"); bool appears only as compare + condition
+                kk, cand_f, need_f = lc
                 col = jnp.sum(jnp.where(
-                    _onehot_eq(iota_w, jnp.full((TB, 1), n, jnp.int32) + kk)
-                    [:, None, :], T, 0.0), axis=2)        # T[:, :, n+kk]
-                key = jnp.where(cand, -col / safe_d, inf)
+                    _onehot_eq(iota_w1, jnp.full((TB, 1), n, jnp.int32)
+                               + kk)[:, None, :], Tv, zero),
+                    axis=2)                               # Tv[:, :, n+kk]
+                key = jnp.where(cand_f > half, -col / safe_d, inf)
                 kmin = jnp.min(key, axis=1, keepdims=True)
-                keep = cand & (key <= kmin + 1e-12 * (1.0 + jnp.abs(kmin)))
-                cand = jnp.where(need, keep, cand)
-                need = need & (jnp.sum(cand.astype(jnp.int32), axis=1,
-                                       keepdims=True) > 1)
-                return kk + 1, cand, need
+                keep_f = cand_f * (key <= kmin + lexeps
+                                   * (one + jnp.abs(kmin))).astype(dt)
+                cand_f = jnp.where(need_f > half, keep_f, cand_f)
+                need_f = need_f * (jnp.sum(cand_f, axis=1,
+                                           keepdims=True) > one).astype(dt)
+                return kk + i1, cand_f, need_f
 
             need0 = (active & ~pick_t & ~do_flip & ~is_ray
-                     & (jnp.sum(tie.astype(jnp.int32), axis=1,
-                                keepdims=True) > 1))
-            _, cand, _ = jax.lax.while_loop(
-                lex_cond, lex_body, (jnp.int32(0), tie, need0))
-            jstar = jnp.where(pick_t, _argtrue(tie & t_row, iota_n, n),
-                              _argtrue(cand, iota_n, n))
+                     & (jnp.sum(tie.astype(dt), axis=1,
+                                keepdims=True) > one))
+            _, cand_f, _ = jax.lax.while_loop(
+                lex_cond, lex_body,
+                (i0, tie.astype(dt), need0.astype(dt)))
+            cand = cand_f > half
+            jstar = jnp.where(pick_t, _argtrue(tie & t_row, iota_n, ni),
+                              _argtrue(cand, iota_n, ni))
             oh_j = _onehot_eq(iota_n, jstar)              # (TB, n)
-            piv_elt = _gather(colT, oh_j, 0.0)
-            bad_piv = jnp.abs(piv_elt) < piv_tol
+            piv_elt = _gather(colT, oh_j, zero)
+            bad_piv = jnp.abs(piv_elt) < ptol
 
-            exiting = _gather(basis, oh_j, 0).astype(jnp.int32)
-            hit_lower = _gather(d, oh_j, 0.0) > 0
+            exiting = _gather(basis, oh_j, i0)
+            hit_lower = _gather(d, oh_j, zero) > zero
             oh_x1 = _onehot_eq(iota_w1, exiting)          # (TB, W1)
-            exit_val = jnp.where(hit_lower, _gather(vlb, oh_x1, 0.0),
-                                 _gather(vub, oh_x1, 0.0))
+            exit_val = jnp.where(hit_lower, _gather(vlb, oh_x1, zero),
+                                 _gather(vub, oh_x1, zero))
 
             # ---- rank-1 tableau update ------------------------------------
-            pr = jnp.sum(T * oh_j[:, :, None].astype(dt),
-                         axis=1) / piv_elt                # (TB, W)
-            other = jnp.where(oh_j, 0.0, colT)
-            T_piv = T - other[:, :, None] * pr[:, None, :]
-            T_piv = jnp.where(oh_j[:, :, None], pr[:, None, :], T_piv)
+            # 3D masks ride as 0/1 floats and blend arithmetically: a bool
+            # minor-dim insert (oh_j[:, :, None]) is "only supported for
+            # 32-bit types" in Mosaic
+            ohjf = oh_j.astype(dt)
+            ohj3 = ohjf[:, :, None]                       # (TB, n, 1) f32
+            # guarded divisor: bad_piv lanes still COMPUTE a (finite,
+            # discarded) update — the arithmetic blend below, unlike a
+            # bool select, would propagate 0·inf = NaN into kept lanes
+            piv_safe = jnp.where(jnp.abs(piv_elt) > ptol, piv_elt, one)
+            pr_v = jnp.sum(Tv * ohj3, axis=1) / piv_safe  # (TB, W1)
+            pr_r = _gather(rhs, oh_j, zero) / piv_safe    # (TB, 1)
+            other = jnp.where(oh_j, zero, colT)
+            Tv_piv = Tv - other[:, :, None] * pr_v[:, None, :]
+            Tv_piv = Tv_piv * (one - ohj3) + pr_v[:, None, :] * ohj3
+            rhs_piv = rhs - other * pr_r
+            rhs_piv = jnp.where(oh_j, pr_r, rhs_piv)
 
             basis_piv = jnp.where(oh_j, ent, basis)
             val_piv = jnp.where(oh_x1, exit_val, val_i)
-            val_piv = jnp.where(oh_e1, 0.0, val_piv)
+            val_piv = jnp.where(oh_e1, zero, val_piv)
             blb_piv = jnp.where(oh_j, ent_lb, blb)
             bub_piv = jnp.where(oh_j, ent_ub, bub)
-            t_exits = exiting == T_ID
+            t_exits = exiting == tid
 
             # ---- Lemke rule: complement of the exiting variable drives ----
-            i_x = exiting % n
+            i_x = exiting % ni
             oh_ix = _onehot_eq(iota_n, i_x)
-            l_i = _gather(leff, oh_ix, 0.0)
-            u_i = _gather(ueff, oh_ix, 0.0)
-            is_z = exiting < n
-            is_u = (exiting >= n) & (exiting < 2 * n)
+            l_i = _gather(leff, oh_ix, zero)
+            u_i = _gather(ueff, oh_ix, zero)
+            is_z = exiting < ni
+            is_u = (exiting >= ni) & (exiting < n2i)
             at_l = jnp.abs(exit_val - l_i) <= jnp.abs(exit_val - u_i)
-            nent = jnp.where(is_z, jnp.where(at_l, n + i_x, 2 * n + i_x),
+            nent = jnp.where(is_z, jnp.where(at_l, ni + i_x, n2i + i_x),
                              i_x)
-            ndir = jnp.where(is_z | is_u, jnp.asarray(1.0, dt),
-                             jnp.asarray(-1.0, dt))
-            nev = jnp.where(is_z, jnp.asarray(0.0, dt),
-                            jnp.where(is_u, l_i, u_i))
+            ndir = jnp.where(is_z | is_u, one, -one)
+            nev = jnp.where(is_z, zero, jnp.where(is_u, l_i, u_i))
 
             do_pivot = active & ~is_ray & ~do_flip & ~bad_piv
-            upd_piv3 = (active & ~is_ray & ~do_flip
-                        & ~bad_piv)[:, :, None]           # (TB,1,1)
-            T = jnp.where(upd_piv3, T_piv, T)
+            updf3 = do_pivot.astype(dt)[:, :, None]       # (TB,1,1) f32
+            Tv = Tv + updf3 * (Tv_piv - Tv)
+            rhs = jnp.where(do_pivot, rhs_piv, rhs)
             basis = jnp.where(do_pivot, basis_piv, basis)
             blb = jnp.where(do_pivot, blb_piv, blb)
             bub = jnp.where(do_pivot, bub_piv, bub)
@@ -213,30 +273,29 @@ def _make_kernel(n: int, max_pivots: int, tol: float, piv_tol: float):
             ent = jnp.where(do_pivot, nent,
                             jnp.where(active & do_flip, flip_entering, ent))
             edir = jnp.where(do_pivot, ndir,
-                             jnp.where(active & do_flip,
-                                       jnp.asarray(1.0, dt), edir))
+                             jnp.where(active & do_flip, one, edir))
             ev = jnp.where(do_pivot, nev,
-                           jnp.where(active & do_flip,
-                                     jnp.asarray(0.0, dt), ev))
-            st = jnp.where(active & is_ray, LEMKE_RAY,
+                           jnp.where(active & do_flip, zero, ev))
+            st = jnp.where(active & is_ray, s_ray,
                            jnp.where(active & ~do_flip & bad_piv & ~is_ray,
-                                     LEMKE_SINGULAR,
+                                     s_sing,
                                      jnp.where(do_pivot & t_exits,
-                                               LEMKE_SUCCESS, st)))
+                                               s_succ, st)))
             piv = piv + active.astype(jnp.int32)
-            return (T, basis, val, blb, bub, ent, edir, ev, piv, st, kg + 1)
+            return (Tv, rhs, basis, val, blb, bub, ent, edir, ev, piv, st,
+                    kg + i1)
 
-        c0 = (T_ref[...], basis_ref[...], val_ref[...], blb_ref[...],
-              bub_ref[...], ent_ref[...], dir_ref[...], ev_ref[...],
-              jnp.zeros_like(st_ref[...]), st_ref[...], jnp.int32(0))
-        T, basis, val, _bl, _bu, ent, edir, ev, piv, st, _kg = \
+        c0 = (Tv_ref[...], rhs_ref[...], basis_ref[...], val_ref[...],
+              blb_ref[...], bub_ref[...], ent_ref[...], dir_ref[...],
+              ev_ref[...], jnp.zeros_like(st_ref[...]), st_ref[...],
+              jnp.int32(0))
+        Tv, rhs, basis, val, _bl, _bu, ent, edir, ev, piv, st, _kg = \
             jax.lax.while_loop(cond, body, c0)
-        st = jnp.where(st == 0, LEMKE_MAX, st)
+        st = jnp.where(st == jnp.int32(0), s_max, st)
 
         # terminal basic values from the final tableau (the f64 host
         # refactorization recomputes exact ones; this covers fallbacks)
-        xB = T[:, :, W - 1] - jnp.sum(T[:, :, :W1] * val[:, None, :],
-                                      axis=2)
+        xB = rhs - jnp.sum(Tv * val[:, None, :], axis=2)
         xB_out[...] = xB
         basis_out[...] = basis
         val_out[...] = val
@@ -276,43 +335,45 @@ def solve_lemke_batch_state_pallas(M, q, l, u, z0, var_mask, tol=1e-9,
 
     solved = init.solved_at_start[:, None]
     T_in = jnp.where(solved[..., None], init.T0t, init.T1)
+    Tv_in = T_in[:, :, :W1]                    # variable columns z|u|v|t
+    rhs_in = T_in[:, :, W1]                    # rhs column, separate 2D
     basis_in = jnp.where(solved, init.basis0, init.basis1).astype(jnp.int32)
     blb_in = jnp.take_along_axis(init.var_lb, basis_in, axis=1)
     bub_in = jnp.take_along_axis(init.var_ub, basis_in, axis=1)
 
+    # Lane-tile the batch by CHUNKED pallas_call invocations rather than a
+    # grid: per-tile (TB,1) BlockSpecs fail Mosaic legalization
+    # ("func.return"), while the identical kernel compiles and runs clean
+    # with whole-array refs.  Chunks share one Mosaic binary (identical
+    # kernel + shapes); VMEM stays bounded by the tile budget.
     TB = _pick_tile(B, n, W, np.dtype(dt).itemsize)
     while B % TB:                            # callers pad to powers of two
         TB //= 2
-    grid = (B // TB,)
 
     kernel = _make_kernel(n, max_pivots, float(tol), float(piv_tol))
 
-    def spec(shape):
-        return pl.BlockSpec((TB,) + shape, lambda i: (i,) + (0,) * len(shape))
-
     def lane(a):
         return jnp.reshape(a, (B, 1))
-    outs = pl.pallas_call(
+    operands = (Tv_in, rhs_in, basis_in, init.val0, blb_in, bub_in,
+                init.var_lb, init.var_ub, init.l_eff, init.u_eff,
+                lane(init.ent0).astype(jnp.int32),
+                lane(init.dir0).astype(dt), lane(init.ev0).astype(dt),
+                lane(init.status_init).astype(jnp.int32))
+    call = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[spec((n, W)), spec((n,)), spec((W1,)), spec((n,)),
-                  spec((n,)), spec((W1,)), spec((W1,)), spec((n,)),
-                  spec((n,)), spec((1,)), spec((1,)), spec((1,)),
-                  spec((1,))],
-        out_specs=[spec((n,)), spec((n,)), spec((W1,)), spec((1,)),
-                   spec((1,))],
         out_shape=[
-            jax.ShapeDtypeStruct((B, n), dt),            # xB
-            jax.ShapeDtypeStruct((B, n), jnp.int32),     # basis
-            jax.ShapeDtypeStruct((B, W1), dt),           # val
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),     # pivots
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),     # status
+            jax.ShapeDtypeStruct((TB, n), dt),           # xB
+            jax.ShapeDtypeStruct((TB, n), jnp.int32),    # basis
+            jax.ShapeDtypeStruct((TB, W1), dt),          # val
+            jax.ShapeDtypeStruct((TB, 1), jnp.int32),    # pivots
+            jax.ShapeDtypeStruct((TB, 1), jnp.int32),    # status
         ],
         interpret=interpret,
-    )(T_in, basis_in, init.val0, blb_in, bub_in, init.var_lb, init.var_ub,
-      init.l_eff, init.u_eff, lane(init.ent0).astype(jnp.int32),
-      lane(init.dir0).astype(dt), lane(init.ev0).astype(dt),
-      lane(init.status_init).astype(jnp.int32))
+    )
+    parts = [call(*(a[s:s + TB] for a in operands))
+             for s in range(0, B, TB)]
+    outs = ([jnp.concatenate(ps, axis=0) for ps in zip(*parts)]
+            if len(parts) > 1 else list(parts[0]))
     xB, basis, val, piv, status = outs
 
     # z_i = basic row value where basic, nonbasic value otherwise

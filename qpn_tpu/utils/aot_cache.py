@@ -96,13 +96,34 @@ def _sig_of(a):
     return str(a.dtype), list(a.shape)
 
 
-def _key(tag: str, args, kwargs) -> str:
+def _effective_backend() -> str:
+    """The backend computations will actually run on: honors the
+    small-dispatch CPU override (config.small_dispatch_device sets
+    jax.default_device without changing default_backend), so an
+    accelerator-default process reuses the CPU artifacts the CPU-only
+    processes exported — the re-tracing tax would otherwise return on
+    every accelerator run."""
     import jax
-    backend = jax.default_backend()
+    dev = getattr(jax.config, "jax_default_device", None)
+    if dev is not None and getattr(dev, "platform", None):
+        return dev.platform
+    return jax.default_backend()
+
+
+def _effective_ndev(backend: str) -> int:
+    import jax
+    try:
+        return len(jax.local_devices(backend=backend))
+    except RuntimeError:
+        return jax.local_device_count()
+
+
+def _key(tag: str, args, kwargs) -> str:
+    backend = _effective_backend()
     # device count matters: executing an artifact exported under a
     # 1-device runtime inside an N-virtual-device runtime (test meshes)
     # segfaults XLA:CPU — measured, not hypothetical
-    ndev = jax.local_device_count()
+    ndev = _effective_ndev(backend)
     sig = ",".join("%s%s" % _sig_of(a) for a in args)
     ksig = ",".join("%s=%s%s" % ((k,) + _sig_of(v))
                     for k, v in sorted(kwargs.items()))
@@ -181,9 +202,8 @@ def _subdir() -> str:
     """Artifacts are segregated by backend and virtual device count so a
     validator child never executes an artifact under a runtime different
     from the one it was exported for."""
-    import jax
-    return os.path.join(
-        _DIR, f"{jax.default_backend()}-d{jax.local_device_count()}")
+    backend = _effective_backend()
+    return os.path.join(_DIR, f"{backend}-d{_effective_ndev(backend)}")
 
 
 def _load_or_schedule(key: str, jit_fn: Callable, args, kwargs):
@@ -219,8 +239,8 @@ def _fn_ref(jit_fn) -> Optional[str]:
 
 
 def _schedule_export(key, path, jit_fn, args, kwargs) -> None:
-    import jax
-    if jax.default_backend() != "cpu":
+    backend = _effective_backend()
+    if backend != "cpu":
         return      # the CPU-only worker can't lower/validate for TPU
     ref = _fn_ref(jit_fn)
     if ref is None:
@@ -229,7 +249,7 @@ def _schedule_export(key, path, jit_fn, args, kwargs) -> None:
         "fn": ref, "path": path,
         "args": [_sig_of(a) for a in args],
         "kwargs": {k: _sig_of(v) for k, v in kwargs.items()},
-        "ndev": jax.local_device_count(),
+        "ndev": _effective_ndev(backend),
     }
     _flush_pending()
 
