@@ -608,6 +608,9 @@ def solve_lemke_batch_state(M, q, l, u, z0, var_mask, tol=1e-9,
         M, q, l, u, z0, var_mask)
 
 
+_PALLAS_FAILED: set = set()
+
+
 def solve_lemke_batch_state_auto(M, q, l, u, z0, var_mask, tol=1e-9,
                                  piv_tol=1e-11, max_pivots: int = 512,
                                  synth_scale=1e4, cover: str = "viol"):
@@ -628,7 +631,11 @@ def solve_lemke_batch_state_auto(M, q, l, u, z0, var_mask, tol=1e-9,
     if dev is not None and getattr(dev, "platform", None):
         backend = dev.platform
     use_pallas = (backend == "tpu") if mode == "auto" else (mode == "pallas")
-    if use_pallas:
+    # sub-8 batches can't fill a lane tile (Mosaic also miscompiles the
+    # (1, n) reduction shapes — "Offset change"); a failed remote compile
+    # costs ~1s PER CALL, so failing signatures are memoized too
+    sig = (q.shape, str(q.dtype), max_pivots)
+    if use_pallas and q.shape[0] >= 8 and sig not in _PALLAS_FAILED:
         try:
             from .lemke_pallas import solve_lemke_batch_state_pallas
             return solve_lemke_batch_state_pallas(
@@ -636,6 +643,7 @@ def solve_lemke_batch_state_auto(M, q, l, u, z0, var_mask, tol=1e-9,
                 max_pivots=max_pivots, synth_scale=synth_scale, cover=cover,
                 interpret=(backend != "tpu"))
         except Exception:
+            _PALLAS_FAILED.add(sig)
             from ..utils.metrics import METRICS
             METRICS.bump("lemke_pallas_fallback", 1)
     return solve_lemke_batch_state(M, q, l, u, z0, var_mask, tol=tol,

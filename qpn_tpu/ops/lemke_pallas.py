@@ -44,17 +44,35 @@ from .lemke import (LEMKE_MAX, LEMKE_RAY, LEMKE_SINGULAR, LEMKE_SUCCESS,
 _INF = np.inf
 
 
+import os
+
+# Mosaic's default scoped-vmem stack limit is 16MB; v5e has 128MB VMEM.
+# Raising the limit lets the lane tile grow (fewer chunked kernel launches,
+# more VPU lanes per pivot).  Both knobs are env-tunable for measurement.
+_VMEM_LIMIT = int(os.environ.get("QPN_LEMKE_VMEM", 64 << 20))
+_TB_OVERRIDE = int(os.environ.get("QPN_LEMKE_TB", 0))
+
+
 def _pick_tile(B: int, n: int, W: int, itemsize: int = 4,
-               budget_bytes: int = 12 << 20, live_copies: int = 12) -> int:
+               budget_bytes: int = 0, live_copies: int = 12) -> int:
     """Largest power-of-two lane tile that keeps the pivot loop's live
-    tableau-sized buffers inside VMEM.  Mosaic stack-allocates roughly a
-    dozen (TB, n, W) temporaries per iteration (carry double-buffer, the
-    rank-1 update products, the masked column selects) — measured: the
-    2-copy model OOMs at n=38/TB=128, the 12-copy model compiles."""
+    tableau-sized buffers inside the scoped-VMEM stack limit.  Mosaic
+    stack-allocates roughly a dozen (TB, n, W) temporaries per iteration
+    (carry double-buffer, the rank-1 update products, the masked column
+    selects) — measured: at the default 16MB limit the 2-copy model OOMs
+    at n=38/TB=128, the 12-copy model compiles."""
+    if _TB_OVERRIDE:
+        return min(_TB_OVERRIDE, B)
+    if not budget_bytes:
+        budget_bytes = (3 * _VMEM_LIMIT) // 4   # headroom for operand refs
     tb = 1
     while tb < B and live_copies * 2 * tb * n * W * itemsize <= budget_bytes:
         tb *= 2
-    return min(tb, B)
+    # measured sweep at n=38, B=256 (v5e): TB 8/16/32/64/128 →
+    # 1645/1638/1718/1622/1351 solves/s — launch overhead is negligible on
+    # the 8–64 plateau while big tiles pay lockstep waste (every lane in a
+    # chunk spins until the chunk's slowest pivot path finishes); cap at 32
+    return min(tb, B, 32)
 
 
 def _onehot_eq(iota, idx):
@@ -323,6 +341,7 @@ def solve_lemke_batch_state_pallas(M, q, l, u, z0, var_mask, tol=1e-9,
     (``refactor_batch_np``), and uncertified lanes re-pivot in f64.
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     B, n = q.shape
     dt = q.dtype
@@ -369,6 +388,8 @@ def solve_lemke_batch_state_pallas(M, q, l, u, z0, var_mask, tol=1e-9,
             jax.ShapeDtypeStruct((TB, 1), jnp.int32),    # status
         ],
         interpret=interpret,
+        **({} if interpret else dict(compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT))),
     )
     parts = [call(*(a[s:s + TB] for a in operands))
              for s in range(0, B, TB)]

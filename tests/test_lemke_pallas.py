@@ -134,22 +134,58 @@ def test_xla_fallback_on_pallas_failure(monkeypatch):
 
     import qpn_tpu.ops.lemke_pallas as lp
     monkeypatch.setattr(lp, "solve_lemke_batch_state_pallas", boom)
+    monkeypatch.setattr(lemke_mod, "_PALLAS_FAILED", set())
     old = CONFIG.lemke_kernel
     rng = np.random.default_rng(0)
+    n = 6
+    B = 8      # >= the auto-dispatch lane-tile gate
+    A = rng.standard_normal((B, n, n))
+    M = np.einsum("bij,bkj->bik", A, A) + 0.1 * np.eye(n)[None]
+    q = rng.standard_normal((B, n))
+    l = np.zeros((B, n))
+    u = np.full((B, n), np.inf)
+    before = METRICS.counters.get("lemke_pallas_fallback", 0)
+    try:
+        CONFIG.lemke_kernel = "pallas"
+        args = (_f32(M), _f32(q), _f32(l), _f32(u),
+                np.zeros((B, n), np.float32), np.ones((B, n), bool))
+        z, st, piv, basis, val = lemke_mod.solve_lemke_batch_state_auto(
+            *args, tol=1e-6, piv_tol=1e-5, max_pivots=256)
+        # the failing signature is memoized: the retry neither re-attempts
+        # the ~1s remote compile nor bumps the metric again
+        z2, st2, *_ = lemke_mod.solve_lemke_batch_state_auto(
+            *args, tol=1e-6, piv_tol=1e-5, max_pivots=256)
+    finally:
+        CONFIG.lemke_kernel = old
+    assert (np.asarray(st) == LEMKE_SUCCESS).all()
+    assert (np.asarray(st2) == LEMKE_SUCCESS).all()
+    assert METRICS.counters.get("lemke_pallas_fallback", 0) == before + 1
+
+
+def test_small_batches_skip_pallas(monkeypatch):
+    """Sub-8 batches must not attempt the Pallas route at all (Mosaic
+    miscompiles (1, n) reduction shapes; failed remote compiles cost ~1s
+    per call — the sequential-baseline pathology)."""
+    import qpn_tpu.ops.lemke as lemke_mod
+    from qpn_tpu.config import CONFIG
+
+    def boom(*a, **k):
+        raise AssertionError("pallas engine must not be called at B<8")
+
+    import qpn_tpu.ops.lemke_pallas as lp
+    monkeypatch.setattr(lp, "solve_lemke_batch_state_pallas", boom)
+    rng = np.random.default_rng(1)
     n = 6
     A = rng.standard_normal((2, n, n))
     M = np.einsum("bij,bkj->bik", A, A) + 0.1 * np.eye(n)[None]
     q = rng.standard_normal((2, n))
-    l = np.zeros((2, n))
-    u = np.full((2, n), np.inf)
-    before = METRICS.counters.get("lemke_pallas_fallback", 0)
+    old = CONFIG.lemke_kernel
     try:
         CONFIG.lemke_kernel = "pallas"
         z, st, piv, basis, val = lemke_mod.solve_lemke_batch_state_auto(
-            _f32(M), _f32(q), _f32(l), _f32(u),
-            np.zeros((2, n), np.float32), np.ones((2, n), bool),
-            tol=1e-6, piv_tol=1e-5, max_pivots=256)
+            _f32(M), _f32(q), _f32(np.zeros((2, n))),
+            _f32(np.full((2, n), np.inf)), np.zeros((2, n), np.float32),
+            np.ones((2, n), bool), tol=1e-6, piv_tol=1e-5, max_pivots=256)
     finally:
         CONFIG.lemke_kernel = old
     assert (np.asarray(st) == LEMKE_SUCCESS).all()
-    assert METRICS.counters.get("lemke_pallas_fallback", 0) == before + 1
