@@ -326,6 +326,8 @@ class LemkeInit(NamedTuple):
     var_ub: jnp.ndarray        # (3n+1,)
     l_eff: jnp.ndarray         # (n,) synthetically boxed bounds
     u_eff: jnp.ndarray         # (n,)
+    Mm: jnp.ndarray            # (n, n) padding-masked M (identity rows)
+    qm: jnp.ndarray            # (n,) padding-masked q
 
 
 def _lemke_setup(M, q, l, u, z0, var_mask, *, tol, synth_scale, cover):
@@ -402,7 +404,7 @@ def _lemke_setup(M, q, l, u, z0, var_mask, *, tol, synth_scale, cover):
                      basis0=basis0, val0=val0, ent0=ent0, dir0=dir0,
                      ev0=ev0, status_init=status_init,
                      solved_at_start=solved_at_start, var_lb=var_lb,
-                     var_ub=var_ub, l_eff=l, u_eff=u)
+                     var_ub=var_ub, l_eff=l, u_eff=u, Mm=M, qm=q)
 
 
 def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
@@ -417,9 +419,10 @@ def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
     T_ID = 3 * n
     init = _lemke_setup(M, q, l, u, z0, var_mask, tol=tol,
                         synth_scale=synth_scale, cover=cover)
-    M = jnp.where(var_mask[:, None] & var_mask[None, :], M,
-                  jnp.eye(n, dtype=dt))
-    q = jnp.where(var_mask, q, 0.0)
+    # padding-masked data single-sourced from setup: the terminal QR
+    # refactorization must see the same pinned-row convention the tableau
+    # was pivoted on
+    M, q = init.Mm, init.qm
     l, u = init.l_eff, init.u_eff
     var_lb, var_ub = init.var_lb, init.var_ub
     solved_at_start = init.solved_at_start

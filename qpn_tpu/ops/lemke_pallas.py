@@ -9,9 +9,12 @@ wins must come from kernel fusion").
 
 This module fuses the ENTIRE pivot loop into one Pallas kernel:
 
-* the batch is tiled over the grid; each program keeps its lanes' tableaus
-  ``(TB, n, 3n+2)`` resident in VMEM for the whole almost-complementary
-  path — zero HBM traffic between pivots;
+* the batch is processed in host-chunked ``pallas_call`` invocations of
+  TB lanes each (per-tile BlockSpec grids fail Mosaic legalization for
+  this kernel; identical chunks share one Mosaic binary); each invocation
+  keeps its lanes' tableaus — variable columns ``(TB, n, 3n+1)`` plus a
+  separate rhs column ``(TB, n)`` — resident in VMEM for the whole
+  almost-complementary path, zero HBM traffic between pivots;
 * all per-lane dynamic indexing (entering column, pivot row, basis
   bookkeeping) is rewritten as one-hot masked reductions over the tiled
   tableau — VPU-friendly, no TPU gathers;
@@ -303,10 +306,13 @@ def _make_kernel(n: int, max_pivots: int, tol: float, piv_tol: float):
             return (Tv, rhs, basis, val, blb, bub, ent, edir, ev, piv, st,
                     kg + i1)
 
+        # counter starts at 1 like the XLA lane (lemke.py state0): both
+        # engines execute at most max_pivots-1 body iterations, so pivot
+        # counts and budget-limited statuses agree lane-for-lane
         c0 = (Tv_ref[...], rhs_ref[...], basis_ref[...], val_ref[...],
               blb_ref[...], bub_ref[...], ent_ref[...], dir_ref[...],
               ev_ref[...], jnp.zeros_like(st_ref[...]), st_ref[...],
-              jnp.int32(0))
+              jnp.int32(1))
         Tv, rhs, basis, val, _bl, _bu, ent, edir, ev, piv, st, _kg = \
             jax.lax.while_loop(cond, body, c0)
         st = jnp.where(st == jnp.int32(0), s_max, st)
@@ -365,9 +371,16 @@ def solve_lemke_batch_state_pallas(M, q, l, u, z0, var_mask, tol=1e-9,
     # ("func.return"), while the identical kernel compiles and runs clean
     # with whole-array refs.  Chunks share one Mosaic binary (identical
     # kernel + shapes); VMEM stays bounded by the tile budget.
+    # Non-multiple batches are PADDED up to the tile (lane-0 copies, results
+    # sliced off) — shrinking the tile instead would reintroduce the (1, n)
+    # reduction shapes Mosaic miscompiles; the tile choice minimizes padded
+    # lanes, tie-broken toward fewer launches.
     TB = _pick_tile(B, n, W, np.dtype(dt).itemsize)
-    while B % TB:                            # callers pad to powers of two
-        TB //= 2
+    if B % TB:
+        TB, _ = min(((tb, -(-B // tb) * tb) for tb in (8, 16, 32)
+                     if tb <= TB), key=lambda t: (t[1], -t[0]),
+                    default=(TB, 0))
+    Bpad = -(-B // TB) * TB
 
     kernel = _make_kernel(n, max_pivots, float(tol), float(piv_tol))
 
@@ -378,6 +391,11 @@ def solve_lemke_batch_state_pallas(M, q, l, u, z0, var_mask, tol=1e-9,
                 lane(init.ent0).astype(jnp.int32),
                 lane(init.dir0).astype(dt), lane(init.ev0).astype(dt),
                 lane(init.status_init).astype(jnp.int32))
+    if Bpad != B:
+        operands = tuple(
+            jnp.concatenate([a, jnp.broadcast_to(a[:1],
+                                                 (Bpad - B,) + a.shape[1:])],
+                            axis=0) for a in operands)
     call = pl.pallas_call(
         kernel,
         out_shape=[
@@ -392,9 +410,9 @@ def solve_lemke_batch_state_pallas(M, q, l, u, z0, var_mask, tol=1e-9,
             vmem_limit_bytes=_VMEM_LIMIT))),
     )
     parts = [call(*(a[s:s + TB] for a in operands))
-             for s in range(0, B, TB)]
-    outs = ([jnp.concatenate(ps, axis=0) for ps in zip(*parts)]
-            if len(parts) > 1 else list(parts[0]))
+             for s in range(0, Bpad, TB)]
+    outs = ([jnp.concatenate(ps, axis=0)[:B] for ps in zip(*parts)]
+            if len(parts) > 1 else [a[:B] for a in parts[0]])
     xB, basis, val, piv, status = outs
 
     # z_i = basic row value where basic, nonbasic value otherwise

@@ -189,3 +189,45 @@ def test_small_batches_skip_pallas(monkeypatch):
     finally:
         CONFIG.lemke_kernel = old
     assert (np.asarray(st) == LEMKE_SUCCESS).all()
+
+
+def _rand_psd_lcp(B, n, seed):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((B, n, n))
+    M = np.einsum("bij,bkj->bik", A, A) + 0.1 * np.eye(n)[None]
+    q = rng.standard_normal((B, n))
+    l = np.zeros((B, n))
+    u = np.full((B, n), np.inf)
+    vm = np.ones((B, n), bool)
+    return M, q, l, u, vm
+
+
+def test_non_power_of_two_batch_pads():
+    """B not a multiple of the lane tile must pad (lane-0 copies) rather
+    than collapse the tile to the (1, n) shapes Mosaic miscompiles; padded
+    results are sliced off and match the XLA engine lane-for-lane."""
+    for B in (3, 13, 33):
+        M, q, l, u, vm = _rand_psd_lcp(B, 7, seed=B)
+        P, X = _run_both(M, q, l, u, vm)
+        zP, stP, pivP, basisP, valP = P
+        zX, stX, pivX, basisX, valX = X
+        assert zP.shape == (B, 7)
+        assert (stP == LEMKE_SUCCESS).all()
+        np.testing.assert_array_equal(stP, stX)
+        np.testing.assert_array_equal(pivP, pivX)
+        _, ok, r = _refactor_resid(M, q, l, u, vm, basisP, valP)
+        assert ok.all() and r.max() <= 1e-10
+
+
+def test_pivot_budget_parity_with_xla():
+    """Budget-limited lanes must agree with the XLA engine: same pivot
+    counts and the same LEMKE_MAX statuses (both engines execute at most
+    max_pivots-1 body iterations)."""
+    M, q, l, u, vm = _rand_psd_lcp(8, 12, seed=7)
+    for mp in (4, 8, 1024):
+        P, X = _run_both(M, q, l, u, vm, max_pivots=mp)
+        _, stP, pivP, _, _ = P
+        _, stX, pivX, _, _ = X
+        np.testing.assert_array_equal(stP, stX)
+        np.testing.assert_array_equal(pivP, pivX)
+        assert (pivP <= mp).all()
