@@ -233,15 +233,18 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
                             np.where(pos, 1, np.where(neg, -1, 0)))
 
     # masked least squares: lam = argmin ||Ad' lam - qt|| with inactive rows
-    # pinned to 0 via a large diagonal penalty
-    G = jnp.einsum("bmd,bkd->bmk", jnp.asarray(Ad), jnp.asarray(Ad))
+    # pinned to 0 via a large diagonal penalty.  Convert each host stack to
+    # device ONCE — this is the hot verification path and (B, m_p, d_p) is
+    # the largest tensor in it.
+    Adj = jnp.asarray(Ad)
+    qtj = jnp.asarray(qt)
+    G = jnp.einsum("bmd,bkd->bmk", Adj, Adj)
     pin = jnp.where(jnp.asarray(act_mask), 0.0, 1e12)
     G = G + (1e-12 + pin)[:, :, None] * jnp.eye(m_p)[None]
-    rhs = jnp.einsum("bmd,bd->bm", jnp.asarray(Ad), jnp.asarray(qt))
-    lam_all = np.asarray(chol_solve(G, rhs))
-    resid_all = np.asarray(
-        jnp.einsum("bmd,bm->bd", jnp.asarray(Ad), jnp.asarray(lam_all))
-        - jnp.asarray(qt))
+    rhs = jnp.einsum("bmd,bd->bm", Adj, qtj)
+    lam_j = chol_solve(G, rhs)
+    lam_all = np.asarray(lam_j)
+    resid_all = np.asarray(jnp.einsum("bmd,bm->bd", Adj, lam_j) - qtj)
 
     for i, (A, l, u, q_t, dec_inds, feasible) in enumerate(prepared):
         if results[i] is not None:
@@ -280,20 +283,20 @@ def _prepare_qp_tasks(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion]):
     check_convexity = qpn.options.check_convexity
 
     child_inds = sorted(qpn.network_edges[pid])
+    if check_convexity:
+        base_A = (np.vstack([c.A for c in base_constraints])
+                  if base_constraints else np.zeros((0, len(x))))
+        base_l = (np.concatenate([c.l for c in base_constraints])
+                  if base_constraints else np.zeros(0))
+        base_u = (np.concatenate([c.u for c in base_constraints])
+                  if base_constraints else np.zeros(0))
+        check_qp_convexity(qp.f.Q, base_A, base_l, base_u, dec_inds, pid)
     if child_inds:
         cardinalities = [range(len(S[j])) for j in child_inds]
         if any(len(c) < 1 for c in cardinalities):
             raise RuntimeError("Solution graphs were not properly populated.")
         combos = list(itertools.product(*cardinalities))
         logger.debug("node %d: %d subpiece combinations", pid, len(combos))
-        if check_convexity:
-            base_A = (np.vstack([c.A for c in base_constraints])
-                      if base_constraints else np.zeros((0, len(x))))
-            base_l = (np.concatenate([c.l for c in base_constraints])
-                      if base_constraints else np.zeros(0))
-            base_u = (np.concatenate([c.u for c in base_constraints])
-                      if base_constraints else np.zeros(0))
-            check_qp_convexity(qp.f.Q, base_A, base_l, base_u, dec_inds, pid)
         combo_constraints = []
         for combo in combos:
             children_polys = [S[j][ji] for j, ji in zip(child_inds, combo)]
@@ -303,14 +306,6 @@ def _prepare_qp_tasks(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion]):
         combos = [()]
         combo_constraints = [base_constraints]
         tasks = [(qp, base_constraints, dec_inds)]
-        if check_convexity:
-            base_A = (np.vstack([c.A for c in base_constraints])
-                      if base_constraints else np.zeros((0, len(x))))
-            base_l = (np.concatenate([c.l for c in base_constraints])
-                      if base_constraints else np.zeros(0))
-            base_u = (np.concatenate([c.u for c in base_constraints])
-                      if base_constraints else np.zeros(0))
-            check_qp_convexity(qp.f.Q, base_A, base_l, base_u, dec_inds, pid)
     return SimpleNamespace(qp=qp, base_constraints=base_constraints,
                            dec_inds=dec_inds, child_inds=child_inds,
                            combos=combos, combo_constraints=combo_constraints,
@@ -884,7 +879,6 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
                 rng=rng)
 
             equilibrium = True
-            subpiece_assignments = {i: S[i][0] for i in child_level_players}
             subpiece_ids = {i: 0 for i in child_level_players}
 
             if any(r.failed for r in results):
@@ -910,7 +904,6 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
                         for child_id, sp_id in r.subpiece_assignments.items():
                             # later players overwrite earlier ones, like the
                             # reference (algorithm.jl:73-81)
-                            subpiece_assignments[child_id] = S[child_id][sp_id]
                             subpiece_ids[child_id] = sp_id
                 else:
                     S[pid] = (setops.remove_subsets(r.S)
@@ -1021,7 +1014,12 @@ def solve(qpn: QPNet, x_init=None, parent_level_request=frozenset(),
     if checkpoint_path is not None:
         from .utils.checkpoint import FrontierStore
         qpn.frontier_store = FrontierStore(str(checkpoint_path) + ".frontiers")
-    METRICS.reset()
+    # under a lockstep broker N scenario threads run solve() concurrently;
+    # resetting the process-global METRICS here would wipe the other
+    # scenarios' counters mid-run
+    from .parallel.lockstep import active_broker
+    if active_broker() is None:
+        METRICS.reset()
     qpn.metrics = METRICS
     with METRICS.timer("solve"):
         ret = solve_base(qpn, x_init, parent_level_request, relaxable_inds,

@@ -35,13 +35,14 @@ import numpy as np
 
 
 class _Request:
-    __slots__ = ("kind", "args", "kw", "result", "event")
+    __slots__ = ("kind", "args", "kw", "result", "error", "event")
 
     def __init__(self, kind, args, kw):
         self.kind = kind
         self.args = args
         self.kw = kw
         self.result = None
+        self.error = None
         self.event = threading.Event()
 
 
@@ -65,8 +66,13 @@ class LockstepBroker:
             self._parked += 1
             self._wave.notify_all()
         req.event.wait()
-        with self._lock:
-            self._parked -= 1
+        # _parked is decremented by the dispatcher when it CONSUMES the
+        # request (not here on wake): a stale +1 from a worker still
+        # scheduled-out in event.wait would otherwise let the dispatcher
+        # fire premature under-filled waves, eroding the fusion this
+        # module exists to provide
+        if req.error is not None:
+            raise req.error
         return req.result
 
     def _worker_done(self):
@@ -85,26 +91,41 @@ class LockstepBroker:
             min_batch = int(np.prod(list(self.mesh.shape.values())))
         by_shape = {}
         for r in requests:
-            key = (r.kind,
+            # pure LPs (P == 0) must not fuse with QPs of identical shapes:
+            # the exact Lemke LP route gates on the CONCATENATED batch being
+            # all-LP, and a single QP batchmate would silently demote every
+            # LP lane to approximate ADMM — breaking the serial-parity
+            # contract downstream geometry decisions consume
+            is_lp = (r.kind == "qp"
+                     and not np.asarray(r.args[0]).any())
+            key = (r.kind, is_lp,
                    tuple(np.asarray(a).shape[1:] for a in r.args),
                    tuple(sorted(r.kw.items())))
             by_shape.setdefault(key, []).append(r)
-        for (kind, _, _), group in by_shape.items():
-            # stack each positional array arg along the batch axis
-            cat = [np.concatenate([np.asarray(r.args[i]) for r in group],
-                                  axis=0)
-                   for i in range(len(group[0].args))]
-            kw = group[0].kw
-            if kind == "avi":
-                out = avi.solve_avi_batch_padded(
-                    *cat, _no_broker=True, _sharding=sharding,
-                    _min_batch=min_batch, **kw)
-            elif kind == "qp":
-                out = batch_qp.solve_qp_batch_padded(
-                    *cat, _no_broker=True, _sharding=sharding,
-                    _min_batch=min_batch, **kw)
-            else:               # pragma: no cover
-                raise ValueError(kind)
+        for (kind, _, _, _), group in by_shape.items():
+            try:
+                # stack each positional array arg along the batch axis
+                cat = [np.concatenate([np.asarray(r.args[i]) for r in group],
+                                      axis=0)
+                       for i in range(len(group[0].args))]
+                kw = group[0].kw
+                if kind == "avi":
+                    out = avi.solve_avi_batch_padded(
+                        *cat, _no_broker=True, _sharding=sharding,
+                        _min_batch=min_batch, **kw)
+                elif kind == "qp":
+                    out = batch_qp.solve_qp_batch_padded(
+                        *cat, _no_broker=True, _sharding=sharding,
+                        _min_batch=min_batch, **kw)
+                else:           # pragma: no cover
+                    raise ValueError(kind)
+            except BaseException as e:          # noqa: BLE001
+                # a failed fused dispatch must not strand its workers in
+                # event.wait forever: hand each its error and wake it
+                for r in group:
+                    r.error = e
+                    r.event.set()
+                continue
             ofs = 0
             for r in group:
                 b = np.asarray(r.args[0]).shape[0]
@@ -143,6 +164,7 @@ class LockstepBroker:
                 if self._live == 0 and not self._pending:
                     break
                 wave, self._pending = self._pending, []
+                self._parked -= len(wave)
             if wave:
                 self._dispatch_wave(wave)
         for t in threads:

@@ -118,7 +118,15 @@ def _effective_ndev(backend: str) -> int:
         return jax.local_device_count()
 
 
-def _key(tag: str, args, kwargs) -> str:
+def _static_names(jit_fn) -> tuple:
+    """The jit's static argnames: their VALUES are baked into an exported
+    artifact (jax.export traces with statics applied and the module's
+    in_tree carries only the dynamic inputs)."""
+    ji = getattr(jit_fn, "_jit_info", None)
+    return tuple(getattr(ji, "static_argnames", ()) or ())
+
+
+def _key(tag: str, args, kwargs, static_kw=None) -> str:
     backend = _effective_backend()
     # device count matters: executing an artifact exported under a
     # 1-device runtime inside an N-virtual-device runtime (test meshes)
@@ -127,6 +135,9 @@ def _key(tag: str, args, kwargs) -> str:
     sig = ",".join("%s%s" % _sig_of(a) for a in args)
     ksig = ",".join("%s=%s%s" % ((k,) + _sig_of(v))
                     for k, v in sorted(kwargs.items()))
+    if static_kw:
+        # static values select DIFFERENT baked programs: key on the value
+        ksig += "|st:" + repr(sorted(static_kw.items()))
     raw = (f"{_KEY_VERSION}|{tag}|{backend}|d{ndev}|{sig}|{ksig}|"
            f"{_src_hash()}")
     return hashlib.sha1(raw.encode()).hexdigest()[:24]
@@ -145,30 +156,36 @@ def call_aot(tag: str, jit_fn: Callable, *args, **kwargs):
     """
     if not _ENABLED:
         return jit_fn(*args, **kwargs)
-    # normalize scalar knobs to strong-typed numpy scalars so the live
-    # trace, the cache key, and the worker-exported artifact (built from
-    # dtype/shape specs) all agree on the input signature
-    kwargs = {k: (np.asarray(v) if isinstance(v, (bool, int, float))
-                  else v) for k, v in kwargs.items()}
+    # the jit's STATIC kwargs must stay Python values (normalizing them to
+    # 0-d arrays makes them unhashable and the live jit call raises); they
+    # are keyed by VALUE and baked into the exported artifact, which is
+    # then called with the dynamic inputs only
+    statics = _static_names(jit_fn)
+    static_kw = {k: v for k, v in kwargs.items() if k in statics}
+    # normalize dynamic scalar knobs to strong-typed numpy scalars so the
+    # live trace, the cache key, and the worker-exported artifact (built
+    # from dtype/shape specs) all agree on the input signature
+    dyn_kw = {k: (np.asarray(v) if isinstance(v, (bool, int, float))
+                  else v) for k, v in kwargs.items() if k not in statics}
     try:
-        key = _key(tag, args, kwargs)
+        key = _key(tag, args, dyn_kw, static_kw)
     except Exception:
-        return jit_fn(*args, **kwargs)
+        return jit_fn(*args, **dyn_kw, **static_kw)
     fn = _MEM.get(key)
     if fn is None:
         with _LOCK:
             fn = _MEM.get(key)
             if fn is None:
-                fn = _load_or_schedule(key, jit_fn, args, kwargs)
+                fn = _load_or_schedule(key, jit_fn, args, dyn_kw, static_kw)
                 _MEM[key] = fn
     if fn is jit_fn:
-        return jit_fn(*args, **kwargs)
+        return jit_fn(*args, **dyn_kw, **static_kw)
     try:
-        return fn.call(*args, **kwargs)
+        return fn.call(*args, **dyn_kw)     # statics are baked
     except Exception:
         # incompatible artifact: quarantine and go live
         _MEM[key] = jit_fn
-        return jit_fn(*args, **kwargs)
+        return jit_fn(*args, **dyn_kw, **static_kw)
 
 
 _WARM = False
@@ -206,7 +223,8 @@ def _subdir() -> str:
     return os.path.join(_DIR, f"{backend}-d{_effective_ndev(backend)}")
 
 
-def _load_or_schedule(key: str, jit_fn: Callable, args, kwargs):
+def _load_or_schedule(key: str, jit_fn: Callable, args, kwargs,
+                      static_kw=None):
     """Disk hit (validated) → deserialized artifact.  Miss → return the
     live jit NOW and schedule a subprocess export, so the first-ever run
     never pays the export's second trace; the artifact serves the next
@@ -226,7 +244,7 @@ def _load_or_schedule(key: str, jit_fn: Callable, args, kwargs):
                     pass
     elif os.path.exists(path) or os.path.exists(path + ".bad"):
         return jit_fn    # exported-not-yet-validated or tombstoned: live
-    _schedule_export(key, path, jit_fn, args, kwargs)
+    _schedule_export(key, path, jit_fn, args, kwargs, static_kw)
     return jit_fn     # sentinel: call the live function this process
 
 
@@ -238,17 +256,23 @@ def _fn_ref(jit_fn) -> Optional[str]:
     return f"{mod}:{name}"
 
 
-def _schedule_export(key, path, jit_fn, args, kwargs) -> None:
+def _schedule_export(key, path, jit_fn, args, kwargs,
+                     static_kw=None) -> None:
     backend = _effective_backend()
     if backend != "cpu":
         return      # the CPU-only worker can't lower/validate for TPU
     ref = _fn_ref(jit_fn)
     if ref is None:
         return
+    static_kw = static_kw or {}
+    if not all(isinstance(v, (bool, int, float, str, type(None)))
+               for v in static_kw.values()):
+        return      # non-JSON-portable static value: live jit only
     _PENDING[key] = {
         "fn": ref, "path": path,
         "args": [_sig_of(a) for a in args],
         "kwargs": {k: _sig_of(v) for k, v in kwargs.items()},
+        "static_kwargs": static_kw,
         "ndev": _effective_ndev(backend),
     }
     _flush_pending()
@@ -276,11 +300,14 @@ def _flush_pending(force: bool = False) -> None:
     with os.fdopen(fd, "w") as f:
         json.dump(jobs, f)
     try:
+        # no preexec_fn: running Python between fork and exec in a
+        # multithreaded parent (JAX is always multithreaded) is
+        # documented-unsafe and can deadlock the child; the worker
+        # re-nices ITSELF at startup instead
         _WORKER = subprocess.Popen(
             [sys.executable, "-m", "qpn_tpu.utils.aot_export_worker",
              jobfile],
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            preexec_fn=lambda: os.nice(10))
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         _WORKER_JOBFILE = jobfile
         import atexit
         atexit.register(_drain_exports)

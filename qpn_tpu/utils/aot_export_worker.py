@@ -21,8 +21,12 @@ only that child, gets two attempts, then is deleted.  The parent process
 Job file: JSON list of
   {"fn": "module:attr", "path": "<final artifact path>",
    "args": [["float64", [1,8,8]], ...],
-   "kwargs": {"max_iter": ["int64", []], ...}, "ndev": 1}
-Argument VALUES are irrelevant for tracing; zeros are used.
+   "kwargs": {"max_iter": ["int64", []], ...},
+   "static_kwargs": {"check_every": 25, ...}, "ndev": 1}
+Dynamic argument VALUES are irrelevant for tracing; zeros are used.
+``static_kwargs`` are the jit's static argnames — passed verbatim so
+their values are BAKED into the exported program (the artifact is then
+called with the dynamic inputs only).
 """
 
 from __future__ import annotations
@@ -50,6 +54,7 @@ def export_job(job) -> None:
     fn = getattr(importlib.import_module(mod_name), attr)
     args = [_zero(s) for s in job["args"]]
     kwargs = {k: _zero(s) for k, s in job["kwargs"].items()}
+    kwargs.update(job.get("static_kwargs", {}))
     exp = jexport.export(fn)(*args, **kwargs)
     ser = exp.serialize()
     path = job["path"]
@@ -110,6 +115,10 @@ def validate_dir(d: str) -> None:
 
 
 def main() -> int:
+    try:
+        os.nice(10)     # low priority; parent must NOT preexec_fn this
+    except OSError:
+        pass
     if sys.argv[1] == "--validate":
         import jax
         jax.config.update("jax_platforms", "cpu")

@@ -10,18 +10,25 @@ registry; ``solve`` attaches a fresh scope per call.
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 from typing import Dict
 
 
 class Metrics:
+    """Counter updates are lock-guarded: under the lockstep ensemble
+    driver many scenario threads bump the shared registry concurrently,
+    and an unguarded ``+=`` on the defaultdict drops updates."""
+
     def __init__(self):
         self.counters: Dict[str, float] = defaultdict(float)
         self.timers: Dict[str, float] = defaultdict(float)
+        self._lock = threading.Lock()
 
     def bump(self, name: str, amount: float = 1.0) -> None:
-        self.counters[name] += amount
+        with self._lock:
+            self.counters[name] += amount
 
     @contextlib.contextmanager
     def timer(self, name: str):
@@ -29,11 +36,14 @@ class Metrics:
         try:
             yield
         finally:
-            self.timers[name] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self.timers[name] += dt
 
     def reset(self) -> None:
-        self.counters.clear()
-        self.timers.clear()
+        with self._lock:
+            self.counters.clear()
+            self.timers.clear()
 
     def snapshot(self) -> Dict[str, float]:
         out = dict(self.counters)

@@ -118,3 +118,27 @@ def test_padded_route_matches_disabled(fresh_cache, monkeypatch):
     np.testing.assert_allclose(sol1.x, sol3.x, atol=1e-12)
     np.testing.assert_array_equal(sol1.status, sol2.status)
     np.testing.assert_array_equal(sol1.status, sol3.status)
+
+
+def test_static_kwargs_stay_hashable_and_keyed_by_value(fresh_cache):
+    """jit-static kwargs (check_every, banded_k) must NOT be normalized to
+    0-d arrays (unhashable -> live jit raises); their VALUES select
+    different baked programs, so the cache key must differ by value and
+    the exported artifact must be called with dynamic inputs only."""
+    aot = fresh_cache
+    from qpn_tpu.ops import batch_qp
+    args = _args()
+    # crashes before the fix: np.asarray(13) as a static argname value
+    out1 = aot.call_aot("static_probe", batch_qp.solve_qp_batch, *args,
+                        check_every=13)
+    assert np.isfinite(np.asarray(out1.x)).all()
+    kA = aot._key("static_probe", args, {}, {"check_every": 13})
+    kB = aot._key("static_probe", args, {}, {"check_every": 25})
+    assert kA != kB
+    # export + reload round trip with the static baked
+    aot._drain_exports()
+    aot._MEM.clear()
+    out2 = aot.call_aot("static_probe", batch_qp.solve_qp_batch, *args,
+                        check_every=13)
+    np.testing.assert_allclose(np.asarray(out2.x), np.asarray(out1.x),
+                               atol=1e-12)

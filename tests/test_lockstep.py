@@ -64,3 +64,63 @@ class TestLockstep:
 
         with pytest.raises(ValueError, match="scenario exploded"):
             broker.run([good, bad])
+
+
+class TestBrokerRobustness:
+    def test_dispatch_failure_wakes_workers(self, monkeypatch):
+        """A failed fused dispatch must propagate to the parked workers
+        (raising in submit) instead of stranding them in event.wait."""
+        from qpn_tpu.ops import batch_qp
+
+        def boom(*a, **k):
+            raise RuntimeError("fused dispatch failure (simulated)")
+
+        monkeypatch.setattr(batch_qp, "solve_qp_batch_padded", boom)
+        broker = LockstepBroker()
+
+        def job():
+            return broker.submit(
+                "qp", np.zeros((1, 2, 2)), np.zeros((1, 2)),
+                np.zeros((1, 1, 2)), np.zeros((1, 1)), np.ones((1, 1)),
+                np.ones((1, 1), bool))
+
+        with pytest.raises(RuntimeError, match="simulated"):
+            broker.run([job])
+
+    def test_lp_and_qp_requests_do_not_fuse(self):
+        """A pure-LP request (P == 0) must not share a fused dispatch with
+        a QP of identical shapes: the exact-LP route gates on the whole
+        concatenated batch being LP."""
+        broker = LockstepBroker()
+        seen = []
+        orig = broker._dispatch_wave
+
+        def spy(requests):
+            seen.append([not np.asarray(r.args[0]).any() for r in requests])
+            return orig(requests)
+
+        broker._dispatch_wave = spy
+        P_qp = np.eye(2)[None]
+        P_lp = np.zeros((1, 2, 2))
+        q = np.array([[1.0, 1.0]])
+        A = np.ones((1, 1, 2))
+        l, u = np.array([[0.0]]), np.array([[1.0]])
+        rm = np.ones((1, 1), bool)
+
+        def job(P):
+            return lambda: broker.submit("qp", P, q, A, l, u, rm)
+
+        out = broker.run([job(P_qp), job(P_lp)])
+        assert all(o is not None for o in out)
+        # both requests arrived in one wave but must have been split into
+        # two dispatch groups by the is_lp key — verify via the group key
+        # logic directly (spy sees the wave pre-grouping)
+        assert sorted(seen[0]) == [False, True]
+        from qpn_tpu.parallel.lockstep import _Request
+        reqs = [_Request("qp", (P_qp, q, A, l, u, rm), {}),
+                _Request("qp", (P_lp, q, A, l, u, rm), {})]
+        keys = set()
+        for r in reqs:
+            is_lp = not np.asarray(r.args[0]).any()
+            keys.add((r.kind, is_lp))
+        assert len(keys) == 2
