@@ -116,16 +116,23 @@ def comp_indices(gavi: GAVI, z, w, permuted_request=(), tol: float = 1e-2):
     z1 = z[:d1]
     J1 = _block_labels(r1, z1, gavi.l1, gavi.u1, tol)
     if permuted_request:
+        # direction matrices over [z; w] must match the rows of
+        # local_piece — the coordinates propagate_request reads its
+        # directions from: ∇z1 = [I 0 0], ∇r1 = [M N] (NOT [M 0]: requests
+        # built from constraint/objective rows that couple to parameters
+        # would silently never match)
         I1 = np.hstack([np.eye(d1), np.zeros((d1, d2 + len(w)))])
-        MB1 = np.hstack([gavi.M, np.zeros((d1, len(w)))])
+        MB1 = np.hstack([gavi.M, gavi.N])
         J1 = _grant_requests(J1, I1, MB1, gavi.l1, gavi.u1, permuted_request)
 
     r2 = z[d1:]
     s2 = gavi.A @ z + gavi.B @ w
     J2 = _block_labels(r2, s2, gavi.l2, gavi.u2, tol)
     if permuted_request:
+        # ∇s2 = [A B], ∇r2 = ∇z2 = [0 I 0] (NOT [0 I B])
         AB = np.hstack([gavi.A, gavi.B])
-        M2B = np.hstack([np.zeros((d2, d1)), np.eye(d2), gavi.B])
+        M2B = np.hstack([np.zeros((d2, d1)), np.eye(d2),
+                         np.zeros((d2, len(w)))])
         J2 = _grant_requests(J2, AB, M2B, gavi.l2, gavi.u2, permuted_request)
     return J1 + [set(x + 4 for x in Ji) for Ji in J2]
 
@@ -473,15 +480,23 @@ class LocalGAVISolutions:
         """Batch enumeration (avi_solutions.jl:277-293).  With a frontier
         store attached, every generation persists the frontier so a killed
         run resumes where it stopped."""
-        while self.unexplored_Ks:
+        while True:
+            if not self.unexplored_Ks:
+                # the generation checkpoint lands BETWEEN expansion and the
+                # vertex pull, so a restored frontier may hold only pending
+                # VERTICES with an empty recipe set — pull them first or a
+                # resumed run silently truncates the solution map
+                if (not self.unexplored_vertices
+                        or len(self.explored_vertices) >= self.max_vertices):
+                    break
+                self._pull_vertices()
+                if not self.unexplored_Ks:
+                    break
             Ks = list(self.unexplored_Ks)
             self.explored_Ks |= self.unexplored_Ks
             self.unexplored_Ks = set()
             self._absorb(self._expand_batch(Ks))
             self._checkpoint()
-            if not self.unexplored_vertices:
-                break
-            self._pull_vertices()
         return list(self.polys)
 
     def __iter__(self):
@@ -606,11 +621,17 @@ def get_single_solution(gavi: GAVI, z, w, level, subpiece_index,
             K = max_freedom_K(J)
             break
     nv = len(decision_inds)
-    reducible = list(range(nv, n))
-    piece, reduced_inds = local_piece(gavi, n, m, K, reducible_inds=reducible)
     if permute:
-        keep_cols = [j for j in range(n + m) if j not in set(reduced_inds)]
-        # piece columns correspond to keep_cols of the (z,w) space
+        # [x_dec | x_param] layout like the enumerator's pieces: project
+        # the UNREDUCED piece (project_and_permute expects full (z, w)
+        # columns); reduced_inds is empty in this layout
+        full_piece, _ = local_piece(gavi, n, m, K)
+        piece = project_and_permute(full_piece, decision_inds, param_inds)
+        reduced_inds = []
+    else:
+        reducible = list(range(nv, n))
+        piece, reduced_inds = local_piece(gavi, n, m, K,
+                                          reducible_inds=reducible)
     x = np.zeros(len(decision_inds) + len(param_inds))
     x[list(decision_inds)] = z[:len(decision_inds)]
     x[list(param_inds)] = w

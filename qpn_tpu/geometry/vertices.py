@@ -279,10 +279,8 @@ def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
     eye = np.eye(n)
     dirs = np.vstack([dirs, eye, -eye])
 
-    vals, stat = setops.support_batch([p] * dirs.shape[0], list(dirs))
-
-    # re-solve optima to fetch the minimizers (support_batch returns objective
-    # values only); batch the LPs directly here to get x.
+    # one batched LP per direction fetches minimizer AND status (an extra
+    # support_batch pass here would solve every LP twice for values alone)
     m = p.m
     A, l, u, mask = setops._pad_rows(p.A, p.l, p.u, m)
     B = dirs.shape[0]
@@ -298,7 +296,11 @@ def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
     seen = set()
     for k in range(B):
         if St[k] == batch_qp.DUAL_INFEASIBLE:
-            continue  # unbounded direction: a recession ray exists
+            # unbounded along -dirs[k]: record the certificate direction
+            # (not an extreme ray — consumers only need unboundedness
+            # evidence, e.g. convex_hull's bounded-union guard)
+            R.append(-dirs[k])
+            continue
         if St[k] not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
             continue
         x = X[k]
@@ -341,9 +343,17 @@ def _polish_vertex(p: Poly, x, tol):
 def convex_hull(pu, tol: float = 1e-6) -> Poly:
     """Convex hull of a union via sampled vertices (sets.jl:977-1010).
 
-    Only valid for bounded unions; used by the optional ``try_hull`` path."""
+    Only valid for bounded unions; used by the optional ``try_hull`` path.
+    Boundedness is checked EXPLICITLY per member (±eᵢ support LPs): the
+    exhaustive vertex path reports vertices regardless of recession
+    directions, so relying on get_verts rays alone would let an unbounded
+    member silently produce a bogus bounded hull."""
     all_verts = []
     for p in pu:
+        dirs = np.vstack([np.eye(p.dim), -np.eye(p.dim)])
+        vals, _ = setops.support_batch([p] * dirs.shape[0], list(dirs))
+        if not np.all(np.isfinite(np.asarray(vals))):
+            raise RuntimeError("convex_hull of unbounded union not supported")
         V, R, L = get_verts(p)
         if R or L:
             raise RuntimeError("convex_hull of unbounded union not supported")

@@ -27,6 +27,12 @@ extern "C" {
 int64_t qpn_recipe_product(const int32_t* labels, const int64_t* offsets,
                            int64_t n_rows, int64_t cap, int32_t* out) {
     // odometer over the choice lists
+    // a row with an EMPTY choice list means zero recipes (the Python
+    // fallback's itertools.product semantics); indexing past offsets
+    // would read the next row's labels
+    for (int64_t r = 0; r < n_rows; ++r) {
+        if (offsets[r + 1] <= offsets[r]) return 0;
+    }
     int64_t* idx = new int64_t[n_rows];
     std::memset(idx, 0, sizeof(int64_t) * n_rows);
     int64_t count = 0;
@@ -60,7 +66,9 @@ void qpn_quantize_hash(const double* data, int64_t rows, int64_t cols,
         uint64_t h = 1469598103934665603ULL;
         const double* row = data + r * cols;
         for (int64_t c = 0; c < cols; ++c) {
-            double v = std::round(row[c] * scale);
+            // nearbyint = half-to-even (default FP env), matching
+            // np.round in the Python fallback exactly
+            double v = std::nearbyint(row[c] * scale);
             if (v == 0.0) v = 0.0;  // fold -0.0
             int64_t q;
             if (std::isnan(v)) q = INT64_MIN;
@@ -87,7 +95,7 @@ void qpn_dedupe_rows(const double* data, int64_t rows, int64_t cols,
     int64_t* q = new int64_t[rows * cols];
     for (int64_t r = 0; r < rows; ++r) {
         for (int64_t c = 0; c < cols; ++c) {
-            double v = std::round(data[r * cols + c] * scale);
+            double v = std::nearbyint(data[r * cols + c] * scale);
             if (v == 0.0) v = 0.0;
             int64_t qi;
             if (std::isnan(v)) qi = INT64_MIN;

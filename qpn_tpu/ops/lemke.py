@@ -575,7 +575,6 @@ def _complement_jax(exiting, val, l, u, n):
     return ent, direction, ev
 
 
-@functools.partial(jax.jit, static_argnames=("max_pivots", "cover"))
 def solve_lemke_batch(M, q, l, u, z0, var_mask, tol=1e-9, piv_tol=1e-11,
                       max_pivots: int = 512, synth_scale=1e4,
                       cover: str = "viol"):
@@ -584,13 +583,14 @@ def solve_lemke_batch(M, q, l, u, z0, var_mask, tol=1e-9, piv_tol=1e-11,
     Returns ``(z, status, pivots)`` stacked over the batch.  Lanes terminate
     individually (done masks); the while_loop runs until the slowest lane
     finishes or ``max_pivots``.
+
+    Thin view over :func:`solve_lemke_batch_state` — a separately-jitted
+    copy would compile the identical vmapped pivot kernel twice per
+    (shape, max_pivots) signature.
     """
-    fn = functools.partial(_lemke_single, tol=tol, piv_tol=piv_tol,
-                           max_pivots=max_pivots, synth_scale=synth_scale,
-                           cover=cover)
-    z, status, piv, _, _ = jax.vmap(
-        lambda M_, q_, l_, u_, z_, vm: fn(M_, q_, l_, u_, z_, vm))(
-        M, q, l, u, z0, var_mask)
+    z, status, piv, _, _ = solve_lemke_batch_state(
+        M, q, l, u, z0, var_mask, tol=tol, piv_tol=piv_tol,
+        max_pivots=max_pivots, synth_scale=synth_scale, cover=cover)
     return z, status, piv
 
 

@@ -133,3 +133,47 @@ class TestVertexCompleteness:
         v1 = self._pieces(gavi, np.array([0.0, 0.0, 1.0]))
         assert interior == v0 == v1
         assert len(interior) == 4
+
+
+def test_frontier_resume_with_pending_vertices(tmp_path):
+    """The generation checkpoint lands BETWEEN expansion and the vertex
+    pull, so a restored frontier can hold pending VERTICES with an empty
+    recipe set; collect() must pull them instead of exiting immediately
+    (regression: a resumed multi-generation enumeration returned a
+    truncated piece set)."""
+    from qpn_tpu.ops.avi import GAVI
+    from qpn_tpu.utils.checkpoint import FrontierStore
+
+    A = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])   # redundant row
+    gavi = GAVI(M=np.hstack([np.eye(2), -A.T]), N=-np.eye(2),
+                o=np.zeros(2),
+                l1=np.full(2, -np.inf), u1=np.full(2, np.inf),
+                A=np.hstack([A, np.zeros((3, 3))]), B=np.zeros((3, 2)),
+                l2=np.zeros(3), u2=np.full(3, np.inf))
+    w = np.array([-1.0, -1.0])
+    z = np.concatenate([np.zeros(2), np.array([0.5, 0.5, 0.5])])
+
+    def key_set(pieces):
+        return {(tuple(np.round(p.A.flatten(), 5)), tuple(np.round(p.l, 5)),
+                 tuple(np.round(p.u, 5))) for p in pieces}
+
+    full = LocalGAVISolutions(gavi, z, w, 0, 0, [0, 1], [0, 1],
+                              max_vertices=10 ** 6)
+    truth = key_set(full.collect())
+    assert len(truth) >= 2        # multi-generation instance
+
+    store = FrontierStore(str(tmp_path / "f"))
+    gen = LocalGAVISolutions(gavi, z, w, 0, 0, [0, 1], [0, 1],
+                             max_vertices=10 ** 6, frontier_store=store)
+    # kill after ONE generation: checkpoint has pending vertices, no Ks
+    Ks = list(gen.unexplored_Ks)
+    gen.explored_Ks |= gen.unexplored_Ks
+    gen.unexplored_Ks = set()
+    gen._absorb(gen._expand_batch(Ks))
+    gen._checkpoint()
+    assert not gen.unexplored_Ks and gen.unexplored_vertices
+    del gen
+
+    gen2 = LocalGAVISolutions(gavi, z, w, 0, 0, [0, 1], [0, 1],
+                              max_vertices=10 ** 6, frontier_store=store)
+    assert key_set(gen2.collect()) == truth

@@ -51,3 +51,22 @@ def test_quantize_hash_consistency():
     assert np.array_equal(h1, h2)
     h3 = native.quantize_hash(data + 1e-3)
     assert not np.array_equal(h1, h3)
+
+
+def test_native_rounding_matches_numpy_half_to_even():
+    """np.round is half-to-even; the native kernels must agree or piece
+    hashes/dedup masks differ between machines with and without g++."""
+    from qpn_tpu.utils import native
+    rows = np.array([[0.5e-5], [0.0], [1.5e-5], [2.5e-5], [-0.5e-5]])
+    mask = np.asarray(native.dedupe_rows_mask(rows, 5))
+    # np.round: 0.5->0, 1.5->2, 2.5->2, -0.5->0  =>  rows 0,1,4 dedupe;
+    # rows 2,3 dedupe
+    np.testing.assert_array_equal(mask, [True, False, True, False, False])
+
+
+def test_native_recipe_product_empty_row():
+    """A row with an empty choice list means ZERO recipes (itertools
+    semantics); the native kernel must not read past its offsets."""
+    from qpn_tpu.utils import native
+    assert native.recipe_product([{1}, set(), {2}], 100).shape == (0, 3)
+    assert native.recipe_product([set()], 100).shape == (0, 1)

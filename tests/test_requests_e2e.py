@@ -88,3 +88,53 @@ class TestIdentifyPropagate:
         out = propagate_request(np.array([1.0, 0.0]), box)
         # minimizing +x over the box activates the x >= 0 facet
         assert any(np.allclose(r.a, [1.0, 0.0]) for r in out)
+
+
+class TestGrantDirectionsWithParameterCoupling:
+    """The grant-direction matrices must match the gradients of the rows
+    local_piece emits — i.e. what propagate_request actually produces:
+    ∇r1 = [M N] (not [M 0]) and ∇r2 = [0 I 0] (not [0 I B]).  With N or B
+    nonzero the old matrices silently never matched (the e2e tests above
+    pass only because their N and B blocks vanish)."""
+
+    def test_block1_r_direction_includes_N(self):
+        # r1 = M z + N w + o with N nonzero; finite box on z1
+        gavi = GAVI(
+            M=np.array([[1.0, -1.0]]), N=np.array([[-1.0]]), o=np.zeros(1),
+            l1=np.array([0.0]), u1=np.array([1.0]),
+            A=np.array([[1.0, 0.0]]), B=np.array([[0.0]]),
+            l2=np.array([0.0]), u2=np.array([np.inf]))
+        # z1 = 0 = l1 with r1 = 0.5 > 0: strict label 1 only
+        z = np.array([0.0, 0.0])
+        w = np.array([-0.5])
+        base = comp_indices(gavi, z, w)
+        assert base[0] == {1}
+        # direction that DECREASES r1 = +[M N] row = [1, -1, -1]; grants
+        # label 3 (z1 at u1).  The old [M 0] matrix only matched
+        # [1, -1, 0], which propagate_request never produces when N != 0.
+        req = (Linear(np.array([1.0, -1.0, -1.0])),)
+        granted = comp_indices(gavi, z, w, req)
+        assert 3 in granted[0] - base[0], (
+            "a [M N]-built request direction must grant a new label")
+
+    def test_block2_r_direction_excludes_B(self):
+        # z2-direction requests are pure [0 I 0]; a B-contaminated matrix
+        # would reject them whenever B != 0
+        gavi = GAVI(
+            M=np.array([[1.0, -1.0]]), N=np.array([[0.0]]),
+            o=np.array([-1.0]),
+            l1=np.array([-np.inf]), u1=np.array([np.inf]),
+            A=np.array([[1.0, 0.0]]), B=np.array([[-1.0]]),
+            l2=np.array([0.0]), u2=np.array([np.inf]))
+        # z1 free with r1 = 0; s2 = z1 - w = 1 interior, λ = 0: label 6
+        z = np.array([1.0, 0.0])
+        w = np.array([0.0])
+        base = comp_indices(gavi, z, w)
+        assert base[1] == {6}
+        # direction that increases r2 = λ is -[0 I 0] = [0, -1, 0]; grants
+        # label 5 (s2 at l2).  The old [0 I B] matrix only matched
+        # [0, -1, 1], which propagate_request never produces.
+        req = (Linear(np.array([0.0, -1.0, 0.0])),)
+        granted = comp_indices(gavi, z, w, req)
+        assert 5 in granted[1] - base[1], (
+            "a pure lambda-direction request must grant a boundary label")
