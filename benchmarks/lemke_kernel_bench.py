@@ -30,7 +30,10 @@ def main():
     S = 256
     if "--sizes" in sys.argv:
         S = int(sys.argv[sys.argv.index("--sizes") + 1])
-    batch = scenario_batch_gavis(num_scenarios=S, T=2, num_obj=1,
+    T = 2
+    if "--T" in sys.argv:           # horizon scaling: n grows ~19T
+        T = int(sys.argv[sys.argv.index("--T") + 1])
+    batch = scenario_batch_gavis(num_scenarios=S, T=T, num_obj=1,
                                  num_poly_faces=4, seed=0)
     M, q, l, u = batch["M"], batch["q"], batch["l"], batch["u"]
     vm = np.asarray(batch["mask"], bool)

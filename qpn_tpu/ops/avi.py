@@ -389,11 +389,12 @@ def _solve_avi_batch_adaptive_impl(M, q, l, u, z0, var_mask, *, tol,
         r_0 = natural_residual_np(M, q, l, u, z_cur, var_mask)
         better = np.isfinite(r_eg) & (r_eg < r_0)
         z_cur = np.where(better[:, None], z_eg, z_cur)
+    z_warm = z_out      # seed for the NEXT stage; may hold neighbor copies
     for bi, budget in enumerate(budgets):
         if len(idx) == 0:
             break
         sub = (M[idx], np.asarray(q)[idx], np.asarray(l)[idx],
-               np.asarray(u)[idx], z_cur[idx] if bi == 0 else z_out[idx],
+               np.asarray(u)[idx], z_cur[idx] if bi == 0 else z_warm[idx],
                np.asarray(var_mask)[idx])
         from ..config import bucket, CONFIG
         Bp = bucket(len(idx), CONFIG.batch_buckets)
@@ -412,15 +413,20 @@ def _solve_avi_batch_adaptive_impl(M, q, l, u, z0, var_mask, *, tol,
         idx = idx[~c_i]
         # cross-lane warm start: scenario ensembles are perturbations of each
         # other, so seed each straggler from the nearest (by q-distance)
-        # converged lane's solution before the next budget stage
+        # converged lane's solution before the next budget stage.  The seed
+        # rides in a SEPARATE array: overwriting z_out would pair a lane's
+        # returned z with a residual measured on a different iterate (and
+        # discard its own best iterate).
+        z_warm = z_out
         if len(idx) and conv_out.any():
             conv_idx = np.nonzero(conv_out)[0]
             qs = np.asarray(q)
+            z_warm = z_out.copy()
             for i in idx:
                 j = conv_idx[np.argmin(
                     np.linalg.norm(qs[conv_idx] - qs[i], axis=1))]
                 if resid_out[i] > 1e-4:
-                    z_out[i] = z_out[j]
+                    z_warm[i] = z_out[j]
     if len(idx):
         # final escalation tier: proximal Lemke pivoting on the stragglers —
         # terminates exactly on a complementary basis where the smooth hybrid
@@ -428,7 +434,7 @@ def _solve_avi_batch_adaptive_impl(M, q, l, u, z0, var_mask, *, tol,
         from .lemke import lemke_escalate
         zL, rL = lemke_escalate(
             M[idx], np.asarray(q)[idx], np.asarray(l)[idx],
-            np.asarray(u)[idx], z_out[idx], np.asarray(var_mask)[idx],
+            np.asarray(u)[idx], z_warm[idx], np.asarray(var_mask)[idx],
             tol=tol)
         better = rL < resid_out[idx]
         z_out[idx[better]] = zL[better]
@@ -561,13 +567,28 @@ def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
         residL = natural_residual_np(M, q, l, u, zL, var_mask)
         okL = residL <= tol
         pivL = np.asarray(pivL, dtype=np.int64)
+        # straggler subsets are BUCKET-padded (lane-0 copies, sliced off):
+        # the straggler count varies run to run and an exact-shape call
+        # would recompile the vmapped kernels per distinct count — the
+        # cost the padding discipline exists to prevent
+        from ..config import bucket, CONFIG
+
+        def _pad_lanes(Bp, *arrs):
+            pad = Bp - arrs[0].shape[0]
+            if pad <= 0:
+                return arrs
+            return tuple(
+                np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+                for a in arrs)
+
         if not okL.all():
             # short f64 Newton polish only for the residual stragglers
             idxP = np.nonzero(~okL)[0]
+            Bp = bucket(len(idxP), CONFIG.batch_buckets)
             pol = solve_avi_batch_polish(
-                M[idxP], q[idxP], l64[idxP], u64[idxP], zL[idxP],
-                vm[idxP], tol=tol, max_iter=8)
-            zP = np.asarray(pol.z, dtype=np.float64)
+                *_pad_lanes(Bp, M[idxP], q[idxP], l64[idxP], u64[idxP],
+                            zL[idxP], vm[idxP]), tol=tol, max_iter=8)
+            zP = np.asarray(pol.z, dtype=np.float64)[:len(idxP)]
             rP = natural_residual_np(M[idxP], q[idxP], l64[idxP], u64[idxP],
                                      zP, vm[idxP])
             better = rP < residL[idxP]
@@ -576,11 +597,13 @@ def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
             okL = residL <= tol
         if not okL.all():
             idx32 = np.nonzero(~okL)[0]
-            z64, st64, piv64 = (np.asarray(a) for a in solve_lemke_batch(
-                M[idx32], q[idx32], l64[idx32], u64[idx32],
-                np.zeros((len(idx32), n)),
-                np.asarray(var_mask, dtype=bool)[idx32], tol=1e-11,
-                max_pivots=max_pivots))
+            Bp = bucket(len(idx32), CONFIG.batch_buckets)
+            z64, st64, piv64 = (np.asarray(a)[:len(idx32)] for a in
+                                solve_lemke_batch(
+                *_pad_lanes(Bp, M[idx32], q[idx32], l64[idx32], u64[idx32],
+                            np.zeros((len(idx32), n)),
+                            np.asarray(var_mask, dtype=bool)[idx32]),
+                tol=1e-11, max_pivots=max_pivots))
             r64 = natural_residual_np(M[idx32], q[idx32], l64[idx32],
                                       u64[idx32], z64,
                                       np.asarray(var_mask)[idx32])

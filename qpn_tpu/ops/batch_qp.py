@@ -294,9 +294,16 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
     prim, dual = residuals0(x, z, y)
     good = (prim <= 1e-6) & (dual <= 1e-6)
     okish = (prim <= 1e-4) & (dual <= 1e-4)
-    status = jnp.where((status == MAX_ITER) & good, SOLVED,
-              jnp.where((status == MAX_ITER) & okish, SOLVED_INACCURATE,
-                        status)).astype(jnp.int32)
+    # the in-loop check() passes on SCALED residuals; reclassify EVERY
+    # solved-like lane against the unscaled ones (a badly Ruiz-scaled lane
+    # can pass eps=1e-9 scaled while sitting at 1e-5 unscaled — returning
+    # SOLVED there is inconsistent with the MAX_ITER ladder below).
+    # Infeasibility certificates are untouched.
+    solved_like = (status == SOLVED) | (status == MAX_ITER)
+    status = jnp.where(solved_like & good, SOLVED,
+              jnp.where(solved_like & okish, SOLVED_INACCURATE,
+               jnp.where(status == SOLVED, MAX_ITER,
+                         status))).astype(jnp.int32)
     obj = 0.5 * jnp.dot(x, P0 @ x) + jnp.dot(q0, x)
     return QPSolution(x=x, y=y, z=z, obj=obj, status=status,
                       prim_res=prim, dual_res=dual, iters=k)
@@ -398,7 +405,6 @@ def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,
     # padded variables get unit diagonal so K = P + sigma I stays SPD
     Pp[:, :, :] = np.eye(np_)
     Pp[:B, :n, :n] = P
-    Pp[:B, n:, n:] = np.eye(np_ - n)
     qp_ = np.zeros((Bp, np_))
     qp_[:B, :n] = q
     Ap = np.zeros((Bp, mp, np_))
@@ -419,7 +425,11 @@ def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,
         # tier 1: short lockstep pass — most lanes converge well inside it
         sol = _np_solution(_call_kernel(Pp, qp_, Ap, lp, up, maskp,
                                         max_iter=tier1, **kw), B, n, m)
-        bad = np.nonzero(sol.status == MAX_ITER)[0]
+        # stragglers = lanes that EXHAUSTED the tier-1 budget, including
+        # those the post-loop ladder upgraded to SOLVED_INACCURATE/SOLVED
+        # on 1e-4/1e-6 residuals — a single full-budget call would have
+        # kept iterating them toward eps, and that is the contract here
+        bad = np.nonzero(np.asarray(sol.iters) >= tier1)[0]
         if bad.size == 0:
             return sol
         # tier 2: full budget for the stragglers only (small batch); the

@@ -52,7 +52,7 @@ import os
 # Mosaic's default scoped-vmem stack limit is 16MB; v5e has 128MB VMEM.
 # Raising the limit lets the lane tile grow (fewer chunked kernel launches,
 # more VPU lanes per pivot).  Both knobs are env-tunable for measurement.
-_VMEM_LIMIT = int(os.environ.get("QPN_LEMKE_VMEM", 64 << 20))
+_VMEM_LIMIT = int(os.environ.get("QPN_LEMKE_VMEM", 96 << 20))
 _TB_OVERRIDE = int(os.environ.get("QPN_LEMKE_TB", 0))
 
 
@@ -68,14 +68,24 @@ def _pick_tile(B: int, n: int, W: int, itemsize: int = 4,
         return min(_TB_OVERRIDE, B)
     if not budget_bytes:
         budget_bytes = (3 * _VMEM_LIMIT) // 4   # headroom for operand refs
+    # budget-limited tile, independent of B (batch alignment is handled by
+    # padding at the call site)
     tb = 1
-    while tb < B and live_copies * 2 * tb * n * W * itemsize <= budget_bytes:
+    while tb < 32 and (live_copies * 2 * (2 * tb) * n * W * itemsize
+                       <= budget_bytes):
         tb *= 2
+    if tb < 8:
+        # sub-8 sublane tiles hit the same Mosaic miscompile class as the
+        # (1, n) shapes; a tableau too big for an 8-lane tile belongs on
+        # the XLA route (the auto dispatcher memoizes the fallback)
+        raise ValueError(
+            f"lemke_pallas: n={n} tableau does not fit an 8-lane VMEM tile "
+            f"(limit {budget_bytes >> 20}MB)")
     # measured sweep at n=38, B=256 (v5e): TB 8/16/32/64/128 →
     # 1645/1638/1718/1622/1351 solves/s — launch overhead is negligible on
     # the 8–64 plateau while big tiles pay lockstep waste (every lane in a
     # chunk spins until the chunk's slowest pivot path finishes); cap at 32
-    return min(tb, B, 32)
+    return tb
 
 
 def _onehot_eq(iota, idx):
