@@ -238,8 +238,13 @@ class Poly:
         groups: list[list[int]] = []
         for i in range(self.m):
             if np.linalg.norm(A[i]) <= tol:
-                # zero row: trivial unless bounds exclude 0; keep only if binding
-                if (l[i] > tol) or (u[i] < -tol):
+                # zero row: trivial unless bounds exclude 0 (keep only if
+                # binding).  Strictness matters: l ≤ 0 with strict_l means
+                # l < 0 is REQUIRED, so l ≈ 0 strict is infeasible (0 < 0);
+                # dropping it would turn an empty poly nonempty.
+                if (l[i] > tol) or (u[i] < -tol) \
+                        or (sl[i] and l[i] >= -tol) \
+                        or (su[i] and u[i] <= tol):
                     kept.append(i)
                     groups.append([i])
                 continue

@@ -58,7 +58,11 @@ def eliminate_by_equalities(A, l, u, sl, su, elim_cols):
     progress = True
     while progress:
         progress = False
-        eq = alive & np.isfinite(l) & np.isfinite(u) & (np.abs(u - l) < _EQ_TOL)
+        # strict-flagged l == u rows are EMPTY-set markers (a'x <= b
+        # AND a'x < b), not equalities -- consuming one as a pivot
+        # would erase the infeasibility
+        eq = (alive & np.isfinite(l) & np.isfinite(u)
+              & (np.abs(u - l) < _EQ_TOL) & ~sl & ~su)
         for j in list(remaining):
             cand = np.where(eq & (np.abs(A[:, j]) > _PIV_TOL))[0]
             if len(cand) == 0:
@@ -78,7 +82,8 @@ def eliminate_by_equalities(A, l, u, sl, su, elim_cols):
             alive[i] = False
             remaining.remove(j)
             progress = True
-            eq = alive & np.isfinite(l) & np.isfinite(u) & (np.abs(u - l) < _EQ_TOL)
+            eq = (alive & np.isfinite(l) & np.isfinite(u)
+                  & (np.abs(u - l) < _EQ_TOL) & ~sl & ~su)
     keep = alive
     return A[keep], l[keep], u[keep], sl[keep], su[keep], remaining
 
@@ -123,8 +128,11 @@ def _dedupe_onesided(C, b, strict, tol=1e-9):
         return C, b, strict
     norms = np.linalg.norm(C, axis=1)
     ok = norms > tol
-    # zero rows: 0 ≤ b must hold; infeasible zero rows are kept as markers
-    zero_bad = ~ok & (b < -tol)
+    # zero rows: 0 ≤ b (or 0 < b when strict) must hold; infeasible zero
+    # rows are kept as markers.  A STRICT zero row with b ≈ 0 encodes
+    # 0 < 0 — exactly what FM produces when combining the two sides of an
+    # empty open slab — and must not be silently discarded.
+    zero_bad = ~ok & ((b < -tol) | (strict & (b <= tol)))
     Cn = C[ok] / norms[ok, None]
     bn = b[ok] / norms[ok]
     sn = strict[ok]
@@ -148,19 +156,51 @@ def _dedupe_onesided(C, b, strict, tol=1e-9):
 
 
 def _prune_redundant(C, b, strict, max_rows=64, tol=1e-6):
-    """LP-based redundancy removal when FM output grows beyond max_rows."""
+    """LP-based redundancy removal when FM output grows beyond max_rows.
+
+    Two batched support-LP passes instead of one LP per row: phase 1 tests
+    every row against all others; phase 2 re-tests the phase-1 candidates
+    against the SURVIVOR set alone, so two mutually-redundant rows can
+    never both be dropped (the reference's remove_subsets threading bug is
+    the cautionary tale, sets.jl:889-905).  STRICT rows are never dropped —
+    redundancy against closed rows would close an open boundary, flipping
+    membership on shared facets of solution-map pieces."""
     if C.shape[0] <= max_rows:
         return C, b, strict
-    keep = np.ones(C.shape[0], dtype=bool)
-    for i in range(C.shape[0]):
-        keep[i] = False
-        others = Poly(C[keep], np.full(keep.sum(), -np.inf), b[keep],
-                      normalize=False)
-        vals, stat = setops.support_batch([others], [-C[i]])
-        # max C[i] x = -min(-C[i] x)
-        if stat[0] in (1, 2) and -vals[0] <= b[i] + tol:
-            continue  # redundant, stays dropped
-        keep[i] = True
+    from ..ops import batch_qp
+
+    def _batch_test(indices, keep_mask):
+        """Redundant-vs-(keep_mask minus self) verdict per index."""
+        polys, dirs = [], []
+        for i in indices:
+            mask = keep_mask.copy()
+            mask[i] = False
+            polys.append(Poly(C[mask], np.full(int(mask.sum()), -np.inf),
+                              b[mask], normalize=False))
+            dirs.append(-C[i])
+        vals, stat = setops.support_batch(polys, dirs)
+        out = []
+        for k, i in enumerate(indices):
+            ok = stat[k] in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE)
+            # max C[i] x = -min(-C[i] x)
+            out.append(bool(ok) and -vals[k] <= b[i] + tol)
+        return out
+
+    cand = [i for i in range(C.shape[0]) if not strict[i]]
+    if not cand:
+        return C, b, strict
+    all_mask = np.ones(C.shape[0], dtype=bool)
+    red1 = _batch_test(cand, all_mask)
+    maybe = [i for i, r in zip(cand, red1) if r]
+    if not maybe:
+        return C, b, strict
+    survivors = all_mask.copy()
+    survivors[maybe] = False
+    red2 = _batch_test(maybe, survivors)
+    keep = all_mask.copy()
+    for i, r in zip(maybe, red2):
+        if r:
+            keep[i] = False
     return C[keep], b[keep], strict[keep]
 
 

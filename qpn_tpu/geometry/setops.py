@@ -264,7 +264,10 @@ def is_empty(poly: Poly, tol: float = 1e-4, x=None) -> bool:
     """sets.jl:647-655: short-circuit on a witness point, else exemplar."""
     if x is not None and poly.contains(np.asarray(x)[: poly.dim], tol):
         return False
-    empty, _ = exemplar_batch([poly], _verdict_only=True)
+    # tol is FORWARDED to the ε-inflation decision, matching the reference
+    # (isempty's tol=1e-4 reaches exemplar, sets.jl:646-655 — the bare
+    # exemplar default is the looser 1e-2)
+    empty, _ = exemplar_batch([poly], tol=tol, _verdict_only=True)
     return bool(empty[0])
 
 
@@ -307,7 +310,9 @@ def is_empty_batch(polys: Sequence[Poly], tol: float = 1e-4, x=None):
                         "pallas feasibility screen failed (%s); falling "
                         "back to exact LPs", err)
     if need:
-        empty, _ = exemplar_batch([polys[i] for i in need],
+        # tol forwarded to the ε-inflation decision (reference parity:
+        # sets.jl:646-655 passes isempty's tol through to exemplar)
+        empty, _ = exemplar_batch([polys[i] for i in need], tol=tol,
                                   _verdict_only=True)
         for k, i in enumerate(need):
             out[i] = empty[k]
@@ -434,7 +439,11 @@ def support_batch(polys: Sequence[Poly], dirs: Sequence[np.ndarray]):
     for j, i in enumerate(todo):
         vals_all[i] = vals[j]
         stat_all[i] = stat[j]
-        CACHE.put(keys[i], (float(vals[j]), int(stat[j])))
+        # UNCONVERGED solves (MAX_ITER) must not poison the cache: the
+        # objective value is garbage and a cached garbage value would be
+        # reused for the rest of the process
+        if stat[j] != batch_qp.MAX_ITER:
+            CACHE.put(keys[i], (float(vals[j]), int(stat[j])))
     return vals_all, stat_all
 
 
@@ -551,6 +560,11 @@ def implicit_bounds(poly: Poly, tol: float = 1e-4):
             hi_v, hi_s = v[len(todo) + k], s[len(todo) + k]
             if lo_s == batch_qp.PRIMAL_INFEASIBLE or hi_s == batch_qp.PRIMAL_INFEASIBLE:
                 raise EmptySetError("Empty set")
+            if lo_s == batch_qp.MAX_ITER or hi_s == batch_qp.MAX_ITER:
+                # unconverged support value: its objective is garbage —
+                # conservatively treat the row as NOT an implicit equality
+                # rather than classify on noise
+                continue
             val_low = -_INF if lo_s == batch_qp.DUAL_INFEASIBLE else lo_v
             val_hi = _INF if hi_s == batch_qp.DUAL_INFEASIBLE else -hi_v
             if np.isfinite(val_low) and np.isfinite(val_hi) and \
@@ -571,10 +585,12 @@ def intrinsic_dim(poly: Poly, tol: float = 1e-4) -> int:
     return poly.dim - r
 
 
-def eliminate_variables(poly: Poly, indices, xz=None) -> Poly:
+def eliminate_variables(poly: Poly, indices) -> Poly:
     """Substitute out variables pinned by implicit equalities (sets.jl:731-814),
     with the same rank-deficiency fallback: columns that cannot be pinned are
-    kept. Pure pivoted-QR elimination on host (setup-scale, not hot)."""
+    kept. Pure pivoted-QR elimination on host (setup-scale, not hot).
+    The result lives in the reduced space (columns = kept coordinates in
+    order)."""
     elim = np.asarray(sorted(indices), dtype=int)
     d = poly.dim
     keep = np.array([i for i in range(d) if i not in set(elim.tolist())], dtype=int)
@@ -620,7 +636,8 @@ def eliminate_variables(poly: Poly, indices, xz=None) -> Poly:
     u_new = np.concatenate([be, u[ineq] - ci])
     sl_new = np.concatenate([sl[impl], sl[ineq]])
     su_new = np.concatenate([su[impl], su[ineq]])
-    # NOTE: result stays in the full embedded space on the `keep` coordinates
+    # the result lives in the REDUCED space: its columns are the `keep`
+    # coordinates in order (dim = len(keep), not poly.dim)
     return Poly(A_new, l_new, u_new, sl_new, su_new)
 
 

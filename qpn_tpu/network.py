@@ -214,6 +214,13 @@ def create_minimal_adj_matrix(N: int, edge_list):
     for (i, j) in edge_list:
         if i == j:
             raise ValueError(f"Cannot have self edges. (node {i} -> {i})")
+        # node ids are 1-based (matching the reference); a 0 or negative id
+        # would silently wrap through Python negative indexing and corrupt
+        # the DAG
+        if not (1 <= i <= N and 1 <= j <= N):
+            raise ValueError(
+                f"Edge ({i}, {j}) references a node outside 1..{N} "
+                "(node ids are 1-based)")
         A[i - 1, j - 1] = True
     R = np.zeros((N, N), dtype=bool)
     An = A.copy()

@@ -183,3 +183,61 @@ def test_hull_of_points_high_dim_polar():
     assert not h.contains(np.full(d, 0.5), tol=1e-6)   # outside ||x||_1 <= 1
     for p in pts:
         assert h.contains(p, tol=1e-6)
+
+
+from qpn_tpu.geometry import setops
+
+
+class TestStrictEmptinessThroughProjection:
+    """Empty OPEN polyhedra must stay empty through simplify/projection —
+    the strict-infeasible marker 0'x < 0 was being dropped at three choke
+    points (review findings; the pieces of a solution map rely on strict
+    boundaries for disjoint interiors)."""
+
+    def test_project_empty_open_slab(self):
+        from qpn_tpu.geometry.project import project
+        # {(x, y) : 1 < x and x < 1} is empty (open slab, adjacent pieces)
+        p = Poly(np.array([[1.0, 0.0], [1.0, 0.0]]),
+                 np.array([1.0, -np.inf]), np.array([np.inf, 1.0]),
+                 strict_l=np.array([True, False]),
+                 strict_u=np.array([False, True]), normalize=False)
+        assert setops.is_empty(p)
+        q = project(p, [1])
+        assert setops.is_empty(q), (
+            "projection of an empty open slab must stay empty")
+
+    def test_simplify_keeps_strict_zero_row(self):
+        # zero row with strict lower bound at 0 encodes 0 < 0: empty
+        p = Poly(np.array([[0.0, 0.0], [1.0, 0.0]]),
+                 np.array([0.0, -1.0]), np.array([np.inf, 1.0]),
+                 strict_l=np.array([True, False]),
+                 strict_u=np.array([False, False]), normalize=False)
+        s = p.simplify()
+        assert setops.is_empty(s), (
+            "simplify dropped the strict-infeasible zero row")
+
+    def test_eliminate_by_equalities_skips_strict_markers(self):
+        from qpn_tpu.geometry.project import eliminate_by_equalities
+        # l == u row WITH a strict flag is an empty-set marker, not an
+        # equality pivot
+        A = np.array([[1.0, 0.0], [0.0, 1.0]])
+        l = np.array([1.0, 0.0])
+        u = np.array([1.0, 2.0])
+        sl = np.array([True, False])
+        su = np.array([False, False])
+        A2, l2, u2, sl2, su2, rem = eliminate_by_equalities(
+            A, l, u, sl, su, [0])
+        # the strict marker row must survive (column not eliminated by it)
+        assert rem == [0]
+        assert A2.shape[0] == 2
+
+
+def test_is_empty_forwards_tol():
+    """Reference parity (sets.jl:646-655): isempty's tol reaches the
+    ε-inflation decision.  A slab infeasible by 5e-3 is empty at tol=1e-4
+    but nonempty at the loose 1e-2."""
+    p = Poly(np.array([[1.0], [1.0]]),
+             np.array([1.0, -np.inf]), np.array([np.inf, 1.0 - 5e-3]),
+             normalize=False)
+    assert setops.is_empty(p, tol=1e-4)
+    assert not setops.is_empty(p, tol=1e-2)
