@@ -35,14 +35,22 @@ def _avi_vmap(M, q, l, u, z0, mask, tol, max_iter):
         M, q, l, u, z0, mask)
 
 
+# one module-level jit: a fresh jit(partial(...)) per call would have a new
+# function identity and re-trace every invocation of the superstep
+_avi_vmap_jit = jax.jit(_avi_vmap, static_argnames=("tol", "max_iter"))
+
+
 def sharded_avi_solve(mesh: Mesh, M, q, l, u, z0, mask, tol=1e-8,
                       max_iter=840):
     """Solve a scenario batch of AVIs with the batch axis sharded over the
     whole mesh.  Inputs are host numpy; returns AVIResult on device."""
     sh = scenario_sharding(mesh)
     put = lambda x: jax.device_put(jnp.asarray(x), sh)
-    fn = jax.jit(functools.partial(_avi_vmap, tol=tol, max_iter=max_iter))
-    return fn(put(M), put(q), put(l), put(u), put(z0), put(mask))
+    return _avi_vmap_jit(put(M), put(q), put(l), put(u), put(z0), put(mask),
+                         tol=tol, max_iter=max_iter)
+
+
+_PRUNE_JIT_CACHE: dict = {}
 
 
 def sharded_containment_prune(mesh: Mesh, act, resid):
@@ -67,20 +75,34 @@ def sharded_containment_prune(mesh: Mesh, act, resid):
         idx_all = jax.lax.all_gather(idx_s, ("scenario", "branch"),
                                      tiled=True)
         same = jnp.all(act_s[:, None, :] == act_all[None, :, :], axis=-1)
-        better = (resid_all[None, :] < resid_s[:, None] - 1e-12) | (
-            jnp.isclose(resid_all[None, :], resid_s[:, None], atol=1e-12)
+        # STRICT lexicographic (quantized resid, idx) — a total order, so
+        # exactly one member of every duplicate group survives.  The
+        # previous epsilon-fuzzy comparison was non-transitive: a chain of
+        # pieces each within atol of the next could drop ALL of them.
+        # Quantization (12 digits, the dedup currency convention) absorbs
+        # float noise while keeping the comparison exact and transitive.
+        rq_s = jnp.round(resid_s * 1e12)
+        rq_all = jnp.round(resid_all * 1e12)
+        better = (rq_all[None, :] < rq_s[:, None]) | (
+            (rq_all[None, :] == rq_s[:, None])
             & (idx_all[None, :] < idx_s[:, None]))
         dominated = jnp.any(same & better, axis=1)
         return ~dominated
 
-    keep = jax.jit(jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(("scenario", "branch")), P(("scenario", "branch")),
-                  P(("scenario", "branch"))),
-        out_specs=P(("scenario", "branch"))))(
-            jax.device_put(jnp.asarray(act), sh),
-            jax.device_put(jnp.asarray(resid), sh),
-            jax.device_put(jnp.arange(B), sh))
+    # the wrapped callable is cached per mesh: a fresh jit(shard_map(
+    # closure)) per call has a new function identity and re-traces every
+    # superstep
+    fn = _PRUNE_JIT_CACHE.get(mesh)
+    if fn is None:
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(("scenario", "branch")), P(("scenario", "branch")),
+                      P(("scenario", "branch"))),
+            out_specs=P(("scenario", "branch"))))
+        _PRUNE_JIT_CACHE[mesh] = fn
+    keep = fn(jax.device_put(jnp.asarray(act), sh),
+              jax.device_put(jnp.asarray(resid), sh),
+              jax.device_put(jnp.arange(B), sh))
     return keep
 
 
@@ -94,7 +116,6 @@ def stack_chain_avis(qpn):
     decision — so the bottom-up sweep is a pure dataflow.  Returns
     (M, Ncarry, o, l, u, dec_slice) stacked bottom-up with uniform shapes.
     """
-    import numpy as np
     L = qpn.num_levels()
     per_level = []
     for lv in range(L, 0, -1):               # bottom-up
@@ -106,7 +127,23 @@ def stack_chain_avis(qpn):
         child = sorted(qpn.network_edges[pid])
         cvars = sorted(qpn.qps[child[0]].var_indices) if child else []
         cons = [qpn.constraints[c].poly for c in qp.constraint_indices]
-        A = np.vstack([c.A for c in cons])[:, own]
+        A_full = np.vstack([c.A for c in cons])
+        # the fast class requires constraints on OWN variables only and
+        # objective coupling only to the single child — anything else must
+        # fail loudly here, not solve a silently different network
+        other = sorted(set(range(A_full.shape[1])) - set(own))
+        if other and np.abs(A_full[:, other]).max(initial=0.0) > 0:
+            raise ValueError(
+                "stack_chain_avis: constraints couple non-own variables — "
+                "outside the level-pipeline fast class")
+        non_child = sorted(set(range(qp.f.Q.shape[1])) - set(own)
+                           - set(cvars))
+        if non_child and np.abs(
+                qp.f.Q[np.ix_(own, non_child)]).max(initial=0.0) > 0:
+            raise ValueError(
+                "stack_chain_avis: objective couples variables beyond the "
+                "first child — outside the level-pipeline fast class")
+        A = A_full[:, own]
         lb = np.concatenate([c.l for c in cons])
         ub = np.concatenate([c.u for c in cons])
         nd, m = len(own), len(lb)
@@ -150,8 +187,6 @@ def level_sweep_scan(M, Ncarry, o, l, u, nd, carry0, tol=1e-9, max_iter=60):
     semismooth-Newton kernel; the level's decision block becomes the next
     carry.  The whole L-level sweep compiles to one kernel — no host
     recursion — and vmaps/shards over scenario ensembles."""
-    import functools
-
     fn = functools.partial(_newton_solve, tol=tol, max_iter=max_iter)
 
     def step(carry, level):

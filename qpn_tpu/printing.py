@@ -56,8 +56,11 @@ def format_quadratic(f: Quadratic, names=None) -> str:
     terms = []
     for i in range(n):
         for j in range(i, n):
+            # f(x) = ½x'Qx: the x_i·x_j (i≠j) coefficient is
+            # ½(Q_ij + Q_ji), NOT their raw sum — the printed polynomial
+            # must evaluate to f
             c = f.Q[i, j] if i == j else f.Q[i, j] + f.Q[j, i]
-            coef = 0.5 * c if i == j else c
+            coef = 0.5 * c
             if abs(coef) > 1e-12:
                 var = f"{names[i]}²" if i == j else f"{names[i]}·{names[j]}"
                 terms.append(f"{coef:+.4g} {var}")

@@ -32,7 +32,10 @@ def identify_request(S: Poly, lams, parent_request=frozenset(),
     if propagate:
         for req in parent_request:
             a = np.asarray(req.a)
-            if a.shape[0] <= d or not np.allclose(a[d:], 0.0):
+            # a request of dimension exactly d has an EMPTY tail, which is
+            # vacuously zero — the reference processes it
+            # (iszero(req.a[d+1:end]) is true for an empty slice)
+            if a.shape[0] < d or not np.allclose(a[d:], 0.0):
                 continue
             for i in range(m):
                 if np.allclose(a[:d], A[i], atol=1e-8) and S.has_parent(i):
@@ -79,15 +82,23 @@ def min_norm_objective(n: int, inds) -> Quadratic:
     return Quadratic(Q, np.zeros(n), 0.0)
 
 
-def revise_avi_solution(f: Quadratic, piece: Poly, zr, w,
-                        decision_inds, param_inds):
+def revise_avi_solution(f: Quadratic, piece: Poly, zr, w):
     """Re-solve a GAVI restricted to one piece, minimizing f (typically the
-    ψ min-norm objective) over it (avi.jl:548-586).  Returns the revised z."""
+    ψ min-norm objective) over it (avi.jl:548-586).  Returns the revised z.
+
+    ``piece`` must be in raw GAVI (z, w) column layout — columns [0, nz)
+    are z and [nz, nz+nw) are w, exactly what local_piece emits.  (The
+    reference's version is dead code referencing an undefined variable;
+    this is the repaired behavior it documents.)"""
     zr = np.asarray(zr, dtype=np.float64)
     w = np.asarray(w, dtype=np.float64)
     A, ll, uu, _, _ = piece.vectorize()
     m, n_total = A.shape
     nz, nw = len(zr), len(w)
+    if n_total != nz + nw:
+        raise ValueError(
+            f"revise_avi_solution: piece has {n_total} columns, expected "
+            f"nz+nw={nz + nw} (raw (z, w) layout)")
     B = A[:, nz:nz + nw]
     A1 = A[:, :nz]
     gavi = GAVI(

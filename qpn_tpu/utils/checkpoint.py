@@ -13,6 +13,7 @@ iteration; ``resume(qpn, path)`` continues from the stored iterate.
 from __future__ import annotations
 
 import json
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -54,7 +55,13 @@ def save_state(path: str, x, Sol: Optional[Dict[int, PolyUnion]] = None,
                                        else np.zeros((0, 0)))
     store["manifest"] = np.frombuffer(
         json.dumps(manifest).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **store)
+    # atomic replace: save_state runs every outer iteration OVER the
+    # previous checkpoint — a kill mid-write would otherwise corrupt the
+    # only copy, exactly the failure checkpointing exists to survive
+    final = str(path) if str(path).endswith(".npz") else str(path) + ".npz"
+    tmp = final + f".tmp{os.getpid()}.npz"   # savez appends .npz otherwise
+    np.savez_compressed(tmp, **store)
+    os.replace(tmp, final)
 
 
 def load_state(path: str):

@@ -23,6 +23,9 @@ def test_format_quadratic():
                   1.0)
     s = printing.format_quadratic(f, names=["a", "b"])
     assert "a²" in s and "a·b" in s and "b" in s
+    # printed coefficients must EVALUATE to f(x) = 0.5 x'Qx + q'x + k:
+    # coefficient of a·b is 0.5(Q01+Q10) = 1, of a² is 0.5*Q00 = 1
+    assert "+1 a·b" in s and "+1 a²" in s
 
 
 def test_min_norm_objective():

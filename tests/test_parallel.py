@@ -127,3 +127,39 @@ def test_level_sweep_scan_sharded_ensemble():
     carry, zs, resids = fn(jax.device_put(jnp.asarray(o_batch), sh))
     assert float(jnp.max(resids)) < 1e-8
     assert np.asarray(zs).shape[:2] == (S, M.shape[0])
+
+
+def test_containment_prune_tiebreak_is_transitive():
+    """A chain of pieces each within float-noise of the next must keep
+    EXACTLY ONE per duplicate group (the epsilon-fuzzy comparison was
+    non-transitive and could drop all of them)."""
+    import numpy as np
+    from qpn_tpu.parallel.mesh import make_mesh
+    from qpn_tpu.parallel.sharded import sharded_containment_prune
+    mesh = make_mesh(8)
+    B = 8
+    act = np.zeros((B, 3), dtype=np.int32)   # all identical signatures
+    resid = np.array([2e-13, 1e-13, 0.0, 5e-14, 1.5e-13,
+                      0.5e-13, 2.5e-13, 1e-14])
+    keep = np.asarray(sharded_containment_prune(mesh, act, resid))
+    assert keep.sum() == 1, f"expected exactly one survivor, got {keep}"
+    # all resids quantize equal (within 1e-12): the lowest INDEX survives —
+    # a deterministic, sharding-independent choice
+    assert keep[0]
+
+
+def test_checkpoint_save_is_atomic(tmp_path):
+    """save_state must tmp+rename: it overwrites the previous checkpoint
+    every outer iteration, and a kill mid-write must not destroy it."""
+    import numpy as np
+    from qpn_tpu.utils.checkpoint import load_state, save_state
+    path = str(tmp_path / "ck")
+    save_state(path, np.arange(3.0))
+    x1 = load_state(path)["x"]
+    # second save over the first; no .tmp leftovers; still loadable
+    save_state(path, np.arange(3.0) + 1)
+    import os
+    leftovers = [f for f in os.listdir(tmp_path) if ".tmp" in f]
+    assert not leftovers
+    x2 = load_state(path)["x"]
+    np.testing.assert_allclose(x2, x1 + 1)
