@@ -83,6 +83,11 @@ def setup(T: int = 2, num_obj: int = 1, num_obj_faces: int = 4,
     ctrl_cid = b.add_constraint(u_cons, np.full(2 * T, -max_accel),
                                 np.full(2 * T, max_accel))
 
+    # reference parity: velocity components are pinned RAW (world
+    # frame) while positions go through Rinv -- the reference does
+    # the same (R\\x_bar[1:2] then x_bar[3:4],
+    # robust_constrained.jl:214-222), so nonzero lane_heading
+    # carries the same latent quirk there
     init_cons = [Rinv[0, 0] * xbar[0] + Rinv[0, 1] * xbar[1],
                  Rinv[1, 0] * xbar[0] + Rinv[1, 1] * xbar[1],
                  xbar[2], xbar[3]]

@@ -90,17 +90,18 @@ def compute_unique_edge_lists(max_edges: int = None
     unique: List[frozenset] = []
     out: List[List[Tuple[int, int]]] = []
     top = len(all_edges) if max_edges is None else max_edges
+    # only the adjacency reduction is needed per subset — building a full
+    # QPNet (8 JAX jacobian/hessian extractions) for each of the 4096
+    # combos would be thousands of times slower
+    from ..network import create_minimal_adj_matrix
     for r in range(top + 1):
         for combo in itertools.combinations(all_edges, r):
             try:
-                net = setup(edge_list=list(combo))
-            except (ValueError, RuntimeError):
-                continue
-            small = set()
-            for k, vs in net.network_edges.items():
-                for v in vs:
-                    small.add((k, v))
-            small = frozenset(small)
+                A, _ = create_minimal_adj_matrix(4, list(combo))
+            except ValueError:
+                continue            # cyclic subset
+            small = frozenset((i + 1, j + 1) for i in range(4)
+                              for j in range(4) if A[i, j])
             if graph_is_redundant(small, unique):
                 continue
             unique.append(small)
@@ -110,8 +111,9 @@ def compute_unique_edge_lists(max_edges: int = None
 
 def search_for_game(seed_range, solve_fn=None, max_edges=None):
     """Cross-validate equilibria across DAGs (jl:179-248): for each seed,
-    solve every unique DAG and count how many equilibria are NOT equilibria
-    of any other DAG."""
+    solve every unique DAG and count the DAGs that admit NO foreign
+    equilibrium (len(equilibria[i]) == 1 — the reference's row-wise
+    criterion, jl:61-65)."""
     from ..algorithm import solve as _solve
     solve_fn = solve_fn or _solve
     edge_lists = compute_unique_edge_lists(max_edges)
@@ -152,6 +154,9 @@ def analyze_equilibria(seed_range, solve_fn=None, max_edges=None):
     num_success = 0
     avg = np.zeros((4, E))
     m2 = np.zeros((4, E))
+    # materialize once: a generator would be exhausted by the loop and the
+    # pct denominator below would silently become 0
+    seed_range = list(seed_range)
     for seed in seed_range:
         x_opts = []
         for el in edge_lists:
@@ -174,4 +179,4 @@ def analyze_equilibria(seed_range, solve_fn=None, max_edges=None):
                 m2[i - 1, e] += delta * (f - avg[i - 1, e])
     return dict(edge_lists=edge_lists, avg_costs=avg, m2_costs=m2,
                 num_success=num_success,
-                pct=100.0 * num_success / max(len(list(seed_range)), 1))
+                pct=100.0 * num_success / max(len(seed_range), 1))

@@ -190,7 +190,9 @@ def scenario_batch_gavis(num_scenarios: int = 64, T: int = 3,
         # scenario: perturbed initial positions (the uncertainty axis)
         w[: 2 * (1 + num_obj)] += rng.standard_normal(2 * (1 + num_obj))
         qt[sidx] = avi.N @ w + avi.o
-        # jittered separation offsets on finite bounds
+        # jittered separation offsets on finite LOWER bounds (where the
+        # clearance offsets live); equality rows and upper bounds stay
+        # exact so the dynamics/box structure is identical across scenarios
         fin_l = np.isfinite(lt[sidx])
         fin_u = np.isfinite(ut[sidx])
         jl = 0.05 * rng.standard_normal(n)

@@ -32,6 +32,10 @@ def _poly_faces(rng, num_faces):
     angles = (np.arange(num_faces) * 2 * np.pi / num_faces
               + 0.15 * rng.standard_normal(num_faces) + np.pi * rng.random())
     A = np.stack([np.cos(angles), np.sin(angles)], axis=1)
+    # reference parity: the offset is a SINGLE scalar broadcast over all
+    # faces (`0.2 .+ 0.8*rand(rng)*ones(num_poly_faces)`,
+    # robust_avoid_simple.jl:22-28) — per-face offsets would be a
+    # different model
     b = 0.2 + 0.8 * rng.random() * np.ones(num_faces)
     return A, b
 

@@ -41,6 +41,14 @@ def setup(arena: float = 3.0, pursuit_gain: float = 1.0,
     # + a mild centering term so the QP stays convex)
     cid_ev = b.add_constraint([ev[0], ev[1]],
                               np.full(2, -arena), np.full(2, arena))
+    # evader Hessian = (4 − 2·pursuit_gain)·I: convex ONLY for
+    # pursuit_gain < 2 — the frontend rejects non-quadratic costs but not
+    # indefinite ones, so validate here rather than solve a silent
+    # maximization as a min-QP
+    if pursuit_gain >= 2.0:
+        raise ValueError(
+            f"pursuit_gain={pursuit_gain} makes the evader QP non-convex "
+            "(requires pursuit_gain < 2)")
     d_ev = [ev[0] - pu[0], ev[1] - pu[1]]
     cost_ev = (-pursuit_gain) * dot(d_ev, d_ev) + 2.0 * dot(ev, ev)
     pid_ev = b.add_qp(cost_ev, [cid_ev], ev)
