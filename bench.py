@@ -11,10 +11,28 @@ vs_baseline = speedup vs solving the same systems one-at-a-time sequentially
 """
 
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+_PROBE = ("import jax; d = jax.devices()[0]; "
+          "import jax.numpy as jnp; "
+          "jnp.ones((8, 8)).sum().block_until_ready(); "
+          "print(d.platform)")
+
+
+def _accelerator_usable(timeout_s: float = 120.0) -> bool:
+    """True iff jax backend init + one tiny dispatch completes in a killable
+    subprocess.  A wedged axon tunnel hangs (never errors), so the probe must
+    be out-of-process — an in-process hang would take the bench down with it."""
+    try:
+        out = subprocess.run([sys.executable, "-c", _PROBE],
+                             capture_output=True, timeout=timeout_s)
+        return out.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
 
 
 def main():
@@ -23,8 +41,13 @@ def main():
 
     if os.environ.get("QPN_BENCH_CPU"):     # debug/CI runs off-chip
         jax.config.update("jax_platforms", "cpu")
-    # Prefer the real TPU; fall back to CPU if the TPU platform is absent or
-    # wedged (this image's axon tunnel can wedge on stale chip claims).
+    elif not _accelerator_usable():
+        # The TPU platform is absent or wedged (this image's axon tunnel can
+        # hang forever on stale chip claims — a hang, not an error, so probe
+        # it in a killable subprocess before touching jax.devices() here).
+        print("bench: accelerator probe failed; falling back to CPU",
+              file=sys.stderr)
+        jax.config.update("jax_platforms", "cpu")
     backend = jax.devices()[0].platform
     import jax.numpy as jnp
 
@@ -35,9 +58,7 @@ def main():
     CONFIG.small_qp_on_cpu = False
 
     from qpn_tpu.models.robust_avoid import scenario_batch_gavis
-    from qpn_tpu.ops.avi import (solve_avi_batch,  # noqa: F401
-                                 solve_avi_batch_adaptive)
-    from qpn_tpu.ops.avi import solve_kkt_avi_batch
+    from qpn_tpu.ops.avi import solve_avi_batch_adaptive, solve_kkt_avi_batch
     import functools
     # production path: the scenario ensemble is a stacked QP-KKT system, so
     # the structured route (batched ADMM QP + dual reconstruction + f64
@@ -54,7 +75,7 @@ def main():
     z0, mask = batch["z0"], batch["mask"]
     structure = batch.get("structure")
 
-    def solve_avi_batch(M, q, l, u, z0, mask, tol):
+    def solve_ensemble(M, q, l, u, z0, mask, tol):
         if structure is not None:
             return solve_kkt_avi_batch(M, q, l, u, mask, structure, tol=tol)
         return solve_avi_batch_generic(M, q, l, u, z0, mask, tol=tol)
@@ -62,13 +83,13 @@ def main():
     tol = 1e-8
 
     # warmup / compile
-    res = solve_avi_batch(M, q, l, u, z0, mask, tol=tol)
+    res = solve_ensemble(M, q, l, u, z0, mask, tol=tol)
     _ = np.asarray(res.z)
 
     t0 = time.perf_counter()
     n_runs = 3
     for _ in range(n_runs):
-        res = solve_avi_batch(M, q, l, u, z0, mask, tol=tol)
+        res = solve_ensemble(M, q, l, u, z0, mask, tol=tol)
         _ = np.asarray(res.z)
     t_batch = (time.perf_counter() - t0) / n_runs
     throughput = S / t_batch
@@ -76,14 +97,14 @@ def main():
 
     # sequential baseline: one system at a time (PATH-loop stand-in)
     K = 8
-    r1 = solve_avi_batch(M[:1], q[:1], l[:1], u[:1], z0[:1], mask[:1],
-                         tol=tol)
+    r1 = solve_ensemble(M[:1], q[:1], l[:1], u[:1], z0[:1], mask[:1],
+                        tol=tol)
     _ = np.asarray(r1.z)
     t0 = time.perf_counter()
     for i in range(K):
-        r1 = solve_avi_batch(M[i:i + 1], q[i:i + 1], l[i:i + 1], u[i:i + 1],
-                             z0[i:i + 1], mask[i:i + 1],
-                             tol=tol)
+        r1 = solve_ensemble(M[i:i + 1], q[i:i + 1], l[i:i + 1], u[i:i + 1],
+                            z0[i:i + 1], mask[i:i + 1],
+                            tol=tol)
         _ = np.asarray(r1.z)
     t_seq = (time.perf_counter() - t0) / K
     seq_throughput = 1.0 / t_seq

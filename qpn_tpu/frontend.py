@@ -61,11 +61,17 @@ class Expr:
         return self.__mul__(o)
 
     def __truediv__(self, o):
-        assert isinstance(o, (int, float, np.floating, np.integer))
+        if not isinstance(o, (int, float, np.floating, np.integer)):
+            raise ValueError("can only divide expressions by scalars")
         return Scale(self, 1.0 / float(o))
 
     def __pow__(self, p):
-        assert p == 2, "only squares supported in quadratic models"
+        if p == 1:
+            return self
+        if p != 2:
+            raise ValueError(
+                f"x**{p} is not quadratic: only squares (and **1) are "
+                "supported in quadratic models")
         return Mul(self, self)
 
 

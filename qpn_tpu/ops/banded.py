@@ -20,11 +20,12 @@ import numpy as np
 from .linalg import qr_solve
 
 
-def _level_reduce(A, B, C, b, stride, T):
-    """One cyclic-reduction level: eliminate neighbors at distance `stride`
-    for indices that are odd multiples of `stride` ... formulated as a full
-    masked update (indices not active this level pass through)."""
-    k = B.shape[-1]
+def _level_ops(A, B, C, stride, T):
+    """One cyclic-reduction level on the matrix data: eliminate neighbors at
+    distance `stride`, formulated as a full masked update (indices without a
+    neighbor this level pass through).  Returns the elimination operators
+    (Gm, Gp, im, ip) — enough to replay the level on any RHS — plus the
+    reduced (A, B, C)."""
     idx = jnp.arange(T)
     # neighbors at +-stride (clamped; masked out of range)
     im = jnp.clip(idx - stride, 0, T - 1)
@@ -44,9 +45,13 @@ def _level_reduce(A, B, C, b, stride, T):
     B_new = B - Gm @ C[im] - Gp @ A[ip]
     A_new = -Gm @ A[im]
     C_new = -Gp @ C[ip]
-    b_new = b - (Gm @ b[im][..., None])[..., 0] \
-              - (Gp @ b[ip][..., None])[..., 0]
-    return A_new, B_new, C_new, b_new
+    return (Gm, Gp, im, ip), A_new, B_new, C_new
+
+
+def _rhs_reduce(b, Gm, Gp, im, ip):
+    """Replay one elimination level on a RHS (T, k)."""
+    return b - (Gm @ b[im][..., None])[..., 0] \
+             - (Gp @ b[ip][..., None])[..., 0]
 
 
 def solve_block_tridiag(A, B, C, b):
@@ -59,7 +64,8 @@ def solve_block_tridiag(A, B, C, b):
     levels = max(1, int(np.ceil(np.log2(max(T, 2)))))
     stride = 1
     for _ in range(levels):
-        A, B, C, b = _level_reduce(A, B, C, b, stride, T)
+        (Gm, Gp, im, ip), A, B, C = _level_ops(A, B, C, stride, T)
+        b = _rhs_reduce(b, Gm, Gp, im, ip)
         stride *= 2
     x = qr_solve(B, b)
     return x
@@ -82,23 +88,9 @@ def cr_factor(A, B, C):
     levels = max(1, int(np.ceil(np.log2(max(T, 2)))))
     ops = []
     stride = 1
-    idx = jnp.arange(T)
     for _ in range(levels):
-        im = jnp.clip(idx - stride, 0, T - 1)
-        ip = jnp.clip(idx + stride, 0, T - 1)
-        has_m = idx - stride >= 0
-        has_p = idx + stride <= T - 1
-        Bm, Bp = B[im], B[ip]
-        Gm = jnp.swapaxes(qr_solve(jnp.swapaxes(Bm, -1, -2),
-                                   jnp.swapaxes(A, -1, -2)), -1, -2)
-        Gp = jnp.swapaxes(qr_solve(jnp.swapaxes(Bp, -1, -2),
-                                   jnp.swapaxes(C, -1, -2)), -1, -2)
-        Gm = jnp.where(has_m[:, None, None], Gm, 0.0)
-        Gp = jnp.where(has_p[:, None, None], Gp, 0.0)
-        ops.append((Gm, Gp, im, ip))
-        B = B - Gm @ C[im] - Gp @ A[ip]
-        A = -Gm @ A[im]
-        C = -Gp @ C[ip]
+        level, A, B, C = _level_ops(A, B, C, stride, T)
+        ops.append(level)
         stride *= 2
     # fold the final block solves into the factorization: per-solve work is
     # then pure batched matvecs
@@ -112,8 +104,7 @@ def cr_solve(factor, b):
     (T, k): O(log T) batched small matvecs only."""
     ops, B_inv = factor
     for Gm, Gp, im, ip in ops:
-        b = b - (Gm @ b[im][..., None])[..., 0] \
-              - (Gp @ b[ip][..., None])[..., 0]
+        b = _rhs_reduce(b, Gm, Gp, im, ip)
     return (B_inv @ b[..., None])[..., 0]
 
 

@@ -11,17 +11,25 @@ and memory stays O(shard) instead of O(total)."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def ring_duplicate_mask(mesh: Mesh, sig, ref_sig):
-    """For each candidate signature, is an equal signature present in the
-    (distributed) reference set?  sig (B, k) int32 sharded over the mesh;
-    ref_sig (R, k) likewise.  Returns bool (B,): True = duplicate."""
+@functools.lru_cache(maxsize=64)
+def _ring_fn(mesh: Mesh, sig_shape, sig_dtype, ref_shape, ref_dtype):
+    """Build (and cache) the jitted ring sweep for one (mesh, shapes) key.
+    jit caches on function identity, so rebuilding the closure per call
+    would retrace + recompile every time — ruinous through the remote-TPU
+    tunnel where one compile costs minutes."""
     axes = tuple(mesh.axis_names)
+    if len(axes) > 2:
+        raise ValueError(
+            f"ring_duplicate_mask supports 1-D and 2-D meshes; got axes "
+            f"{axes} — the rotation ring would skip axis {axes[2:]} pairs")
     n_dev = int(np.prod(list(mesh.shape.values())))
 
     def local(sig_s, ref_s):
@@ -35,17 +43,28 @@ def ring_duplicate_mask(mesh: Mesh, sig, ref_sig):
                 if len(axes) == 1 else _ppermute2(ref_cur, axes, mesh)
             return (ref_next, hit), None
 
-        hit0 = jax.lax.pvary(jnp.zeros(sig_s.shape[0], dtype=bool), axes)
+        # derive hit0 from sig_s so it is device-varying under shard_map's
+        # replication check without jax.lax.pvary (deprecated alias)
+        hit0 = sig_s[:, 0] != sig_s[:, 0]
         (ref_fin, hit), _ = jax.lax.scan(step, (ref_s, hit0), None,
                                          length=n_dev)
         return hit
 
-    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
     spec = P(tuple(mesh.axis_names))
-    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
-                               out_specs=spec))
-    return fn(jax.device_put(jnp.asarray(sig), sh),
-              jax.device_put(jnp.asarray(ref_sig), sh))
+    return jax.jit(jax.shard_map(local, mesh=mesh, in_specs=(spec, spec),
+                                 out_specs=spec))
+
+
+def ring_duplicate_mask(mesh: Mesh, sig, ref_sig):
+    """For each candidate signature, is an equal signature present in the
+    (distributed) reference set?  sig (B, k) int32 sharded over the mesh;
+    ref_sig (R, k) likewise.  Returns bool (B,): True = duplicate."""
+    sig = jnp.asarray(sig)
+    ref_sig = jnp.asarray(ref_sig)
+    fn = _ring_fn(mesh, sig.shape, str(sig.dtype),
+                  ref_sig.shape, str(ref_sig.dtype))
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    return fn(jax.device_put(sig, sh), jax.device_put(ref_sig, sh))
 
 
 def _ppermute2(x, axes, mesh):

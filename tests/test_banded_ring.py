@@ -89,3 +89,30 @@ def test_banded_admm_matches_dense():
     assert np.all(np.asarray(banded.status) == batch_qp.SOLVED)
     np.testing.assert_allclose(np.asarray(banded.x), np.asarray(dense.x),
                                atol=1e-6)
+
+
+def test_ring_fn_cached_and_multi_axis_rejected():
+    """The jitted ring sweep must be reused across calls (jit caches on
+    function identity — rebuilding the closure per call would recompile the
+    shard_map every time), and >2-axis meshes must be rejected loudly (the
+    rotation ring never crosses the third axis, so silent wrong answers)."""
+    import pytest
+    from jax.sharding import Mesh
+    import jax
+    from qpn_tpu.parallel.mesh import make_mesh
+    from qpn_tpu.parallel import ring
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    ref = rng.integers(0, 5, size=(16, 3)).astype(np.int32)
+    cand = rng.integers(0, 5, size=(16, 3)).astype(np.int32)
+    ring._ring_fn.cache_clear()
+    ring.ring_duplicate_mask(mesh, cand, ref)
+    ring.ring_duplicate_mask(mesh, cand + 1, ref + 1)
+    info = ring._ring_fn.cache_info()
+    assert info.misses == 1 and info.hits == 1
+
+    devs = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    mesh3 = Mesh(devs, ("a", "b", "c"))
+    with pytest.raises(ValueError, match="1-D and 2-D"):
+        ring.ring_duplicate_mask(mesh3, cand, ref)

@@ -99,3 +99,18 @@ def test_julia_column_major_variable_order():
     b = QPNetBuilder(v)
     names = [var.name for var in b.vars]
     assert names == ["x1_1", "x2_1", "x1_2", "x2_2", "x1_3", "x2_3"]
+
+
+def test_frontend_power_and_division_validation():
+    """x**1 is the identity, x**p for p not in {1, 2} and division by an
+    expression must raise (ValueError, not assert — asserts vanish under
+    python -O and would silently build x**2 for a cubic cost)."""
+    import pytest
+    x = variable("x")
+    y = variable("y")
+    b = QPNetBuilder(x, y)
+    b.add_qp((x ** 1 - 1.0) ** 2, [], x)   # x**1 == x: valid quadratic
+    with pytest.raises(ValueError, match="not quadratic"):
+        x ** 3
+    with pytest.raises(ValueError, match="scalars"):
+        x / y
