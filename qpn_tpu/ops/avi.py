@@ -401,7 +401,7 @@ def _solve_avi_batch_adaptive_impl(M, q, l, u, z0, var_mask, *, tol,
         pad = Bp - len(idx)
         padded = [np.concatenate([s, np.repeat(s[:1], pad, axis=0)], axis=0)
                   if pad else s for s in sub]
-        res = solver(*padded, tol=tol, max_iter=budget)
+        res = jax.device_get(solver(*padded, tol=tol, max_iter=budget))
         z_i = np.asarray(res.z)[:len(idx)]
         r_i = np.asarray(res.resid)[:len(idx)]
         c_i = np.asarray(res.converged)[:len(idx)]
@@ -555,11 +555,15 @@ def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
         l64 = np.asarray(l, dtype=np.float64)
         u64 = np.asarray(u, dtype=np.float64)
         vm = np.asarray(var_mask, dtype=bool)
-        z32, st32, pivL, basis32, val32 = (np.asarray(a) for a in
-                                           solve_lemke_batch_state_auto(
-            f32(M), f32(q), f32(l64), f32(u64),
-            np.zeros((B, n), dtype=np.float32), vm, tol=1e-6, piv_tol=1e-5,
-            max_pivots=max_pivots))
+        # one pipelined device_get for all five outputs: serial np.asarray
+        # fetches each pay a full device->host round-trip, which through the
+        # axon tunnel is a measurable per-call tax (~ms each)
+        z32, st32, pivL, basis32, val32 = (
+            np.asarray(a) for a in jax.device_get(
+                solve_lemke_batch_state_auto(
+                    f32(M), f32(q), f32(l64), f32(u64),
+                    np.zeros((B, n), dtype=np.float32), vm,
+                    tol=1e-6, piv_tol=1e-5, max_pivots=max_pivots)))
         # host f64 refactorization of the terminal basis: one stacked
         # LAPACK solve lands machine-precision values from the f32 path
         zL, okR = refactor_batch_np(M, q, l64, u64, basis32, val32, vm)
@@ -654,9 +658,9 @@ def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
     # f32 cannot reach the f64 termination tolerance — stop the ADMM at what
     # the dtype can certify and let the f64 Newton polish finish
     eps = 1e-5 if qp_dtype == np.float32 else 1e-9
-    sol = batch_qp.solve_qp_batch(
+    sol = jax.device_get(batch_qp.solve_qp_batch(
         cast(Q), cast(c), cast(A), cast(l2 - off), cast(u2 - off),
-        np.ones((B, m), dtype=bool), eps=eps)
+        np.ones((B, m), dtype=bool), eps=eps))
     x = np.asarray(sol.x, dtype=np.float64)
     y = np.asarray(sol.y, dtype=np.float64)
     lam = -y
@@ -671,17 +675,17 @@ def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
     need = resid > tol
     if need.any():
         idx = np.nonzero(need)[0]
-        res = solve_avi_batch_polish(
+        res = jax.device_get(solve_avi_batch_polish(
             M[idx], q[idx], np.asarray(l)[idx], np.asarray(u)[idx],
-            z[idx], np.asarray(var_mask)[idx], tol=tol)
+            z[idx], np.asarray(var_mask)[idx], tol=tol))
         z[idx] = np.asarray(res.z)
         resid[idx] = np.asarray(res.resid)
         need2 = resid > tol
         if need2.any():
             idx2 = np.nonzero(need2)[0]
-            res2 = solve_avi_batch_padded(
+            res2 = jax.device_get(solve_avi_batch_padded(
                 M[idx2], q[idx2], np.asarray(l)[idx2], np.asarray(u)[idx2],
-                z[idx2], np.asarray(var_mask)[idx2], tol=tol, max_iter=780)
+                z[idx2], np.asarray(var_mask)[idx2], tol=tol, max_iter=780))
             z[idx2] = np.asarray(res2.z)
             resid[idx2] = np.asarray(res2.resid)
     return AVIResult(z=z, resid=resid,
@@ -769,10 +773,11 @@ def solve_avi(avi: AVI, z0, w, convergence_tolerance: float = 1e-10,
         np.repeat(avi.l[None], B, axis=0), np.repeat(avi.u[None], B, axis=0),
         Z0, np.ones((B, n), dtype=bool),
         tol=convergence_tolerance, max_iter=4000)
+    res = jax.device_get(res)
     resid = np.asarray(res.resid)
     best = int(np.argmin(resid))
-    z = np.asarray(res.z[best])
-    ok = bool(res.converged[best])
+    z = np.asarray(res.z)[best]
+    ok = bool(np.asarray(res.converged)[best])
     if not ok:
         # escalation tier: proximal Lemke pivoting — the problem class where
         # smooth methods stall (degenerate multi-player LP-KKT QEPs) is

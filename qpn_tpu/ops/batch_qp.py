@@ -474,14 +474,16 @@ def _call_kernel(Pp, qp_, Ap, lp, up, maskp, **kw):
 def _np_solution(sol, B, n, m):
     """Materialize a padded device QPSolution as sliced numpy arrays.
 
-    One host transfer per field; slicing happens in numpy.  (Slicing the
+    One pipelined device_get for ALL fields (serial per-field np.asarray
+    fetches pay one device round-trip each — a measurable per-call tax
+    through the axon tunnel); slicing happens in numpy.  (Slicing the
     jax Arrays instead compiles a one-off jit(dynamic_slice) per distinct
     shape — measured at ~200 such micro-compiles per cold solve, the
     dominant cold-start cost.)"""
-    X = np.asarray(sol.x)
-    Y = np.asarray(sol.y)
-    Z = np.asarray(sol.z)
-    return QPSolution(x=X[:B, :n], y=Y[:B, :m], z=Z[:B, :m],
+    sol = jax.device_get(sol)
+    return QPSolution(x=np.asarray(sol.x)[:B, :n],
+                      y=np.asarray(sol.y)[:B, :m],
+                      z=np.asarray(sol.z)[:B, :m],
                       obj=np.asarray(sol.obj)[:B],
                       status=np.asarray(sol.status)[:B],
                       prim_res=np.asarray(sol.prim_res)[:B],

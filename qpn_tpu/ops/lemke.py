@@ -848,9 +848,9 @@ def solve_lp_host_batch(c, A, l, u, row_mask, *, tol=1e-7):
         METRICS.bump("lp_host_fallback", int(bad.sum()))
         idx = np.nonzero(bad)[0]
         P0 = np.zeros((len(idx), n0, n0))
-        sol = batch_qp.solve_qp_batch_padded(
+        sol = jax.device_get(batch_qp.solve_qp_batch_padded(
             P0, c[idx], A[idx], l[idx], u[idx], row_mask[idx],
-            _no_lemke=True)
+            _no_lemke=True))
         x[idx] = np.asarray(sol.x)
         y[idx] = np.asarray(sol.y)
         zproj[idx] = np.asarray(sol.z)
@@ -932,8 +932,10 @@ def solve_lp_lemke_batch(c, A, l, u, row_mask, *, tol=1e-7,
     args = (M, q, lA, uA, np.zeros((B, N)), vm)
     if _sharding is not None:
         args = tuple(jax.device_put(a, _sharding) for a in args)
-    z, status, piv = (np.asarray(a) for a in solve_lemke_batch(
-        *args, tol=1e-11, max_pivots=max_pivots))
+    # one pipelined device_get (serial np.asarray fetches pay one device
+    # round-trip each — a real per-call tax through the axon tunnel)
+    z, status, piv = (np.asarray(a) for a in jax.device_get(
+        solve_lemke_batch(*args, tol=1e-11, max_pivots=max_pivots)))
 
     x = z[:, :n]
     lam = np.where(row_mask, z[:, n:n + m], 0.0)
