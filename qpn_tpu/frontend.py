@@ -186,7 +186,10 @@ class QPNetBuilder:
             if not isinstance(cons, (list, tuple)) else list(cons)
         lb = np.atleast_1d(np.asarray(lb, dtype=np.float64))
         ub = np.atleast_1d(np.asarray(ub, dtype=np.float64))
-        assert len(cons) == len(lb) == len(ub)
+        if not (len(cons) == len(lb) == len(ub)):
+            raise ValueError(
+                f"add_constraint: {len(cons)} expressions but "
+                f"{len(lb)} lower / {len(ub)} upper bounds")
         g = self._eval_fn(cons)
         zero = jnp.zeros(self.num_vars)
         A = np.array(jax.jacobian(g)(zero))

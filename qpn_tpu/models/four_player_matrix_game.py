@@ -180,3 +180,29 @@ def analyze_equilibria(seed_range, solve_fn=None, max_edges=None):
     return dict(edge_lists=edge_lists, avg_costs=avg, m2_costs=m2,
                 num_success=num_success,
                 pct=100.0 * num_success / max(len(seed_range), 1))
+
+
+def vis_equilibria(seed: int = 495, solve_fn=None, max_edges=None,
+                   save_path=None):
+    """Solve every unique DAG at one seed and plot the equilibria over the
+    target constellations (jl:250-267 — the reference stops at the
+    constellation figure; the overlay line is commented out there, enabled
+    here)."""
+    from ..algorithm import solve as _solve
+    from .viz import visualize_four_player_constellations
+    solve_fn = solve_fn or _solve
+    edge_lists = compute_unique_edge_lists(max_edges)
+    overlay = []
+    for el in edge_lists:
+        net = setup(edge_list=el, seed=seed)
+        try:
+            ret = solve_fn(net, np.zeros(8))
+            overlay.append((el, np.asarray(ret.x_opt) if ret.solved
+                            else None))
+        except (RuntimeError, ValueError):
+            overlay.append((el, None))
+    net = setup(seed=seed)
+    fig = visualize_four_player_constellations(
+        net.problem_data["constellations"], x_overlay=overlay,
+        save_path=save_path, seed=seed)
+    return dict(edge_lists=edge_lists, overlay=overlay, figure=fig)

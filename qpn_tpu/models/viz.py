@@ -122,3 +122,57 @@ def tikz_graph(qpn, idx: int = 0) -> str:
     lines.append("\\end{tikzpicture}")
     lines.append("}")
     return "\n".join(lines)
+
+
+def visualize_four_player_constellations(constellations, x_overlay=None,
+                                         save_path: Optional[str] = None,
+                                         seed: int = 0):
+    """four_player_matrix_game.jl:33-95: each node i's target constellation —
+    its own anchor point plus, for every other node j, the point it wants j
+    offset to (anchor + constellations[i][j]), joined by a thin line.
+    ``x_overlay`` = iterable of (edge_list, x) pairs: each solved 8-vector is
+    scattered as 4 points (one marker per node) in a fresh random color."""
+    plt = _plt()
+    f, ax = plt.subplots(figsize=(7, 6))
+    ax.set_xlim(-2.1, 2.1)
+    ax.set_ylim(-1.1, 3.1)
+    ax.set_aspect("equal")
+    ax.grid(False)
+    colors = ["blue", "red", "green", "orange"]
+    markers = ["^", ">", "v", "<"]
+    for i in range(1, 5):
+        anchor = np.asarray(constellations[i][i], dtype=float)
+        ax.scatter(*anchor, color=colors[i - 1], marker=markers[i - 1], s=90)
+        for j in range(1, 5):
+            if j == i:
+                continue
+            off = np.asarray(constellations[i][j], dtype=float)
+            stop = anchor + off
+            ax.scatter(*stop, color=colors[i - 1], marker=markers[j - 1],
+                       s=90)
+            # trim 0.2 from each end of the connector (jl:52-57)
+            ln = float(np.linalg.norm(off))
+            frac = min(0.2 / max(ln, 1e-9), 0.5)
+            a = (1 - frac) * anchor + frac * stop
+            b = frac * anchor + (1 - frac) * stop
+            ax.plot([a[0], b[0]], [a[1], b[1]], color=colors[i - 1], lw=1)
+    if x_overlay is not None:
+        rng = np.random.default_rng(seed)
+        for edge_list, x in x_overlay:
+            if x is None:
+                continue
+            c = rng.random(3)
+            x = np.asarray(x, dtype=float)
+            for k in range(4):
+                ax.scatter(x[2 * k], x[2 * k + 1], color=c,
+                           marker=markers[k], s=90)
+    for i in range(4):
+        ax.plot([], [], color=colors[i], lw=1,
+                label=f"Target constellation for node {i + 1}")
+        ax.scatter([], [], color="black", marker=markers[i],
+                   label=f"Decision variables indexed by $J^{i + 1}$")
+    ax.legend(loc="upper left", fontsize=7)
+    if save_path:
+        f.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(f)
+    return f

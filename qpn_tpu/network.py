@@ -107,7 +107,10 @@ class QPNet:
         A = np.asarray(A, dtype=np.float64)
         if A.ndim == 1:
             A = A[None, :]
-        assert A.shape[1] == self.num_vars
+        if A.shape[1] != self.num_vars:
+            raise ValueError(
+                f"constraint matrix has {A.shape[1]} columns but the "
+                f"network has {self.num_vars} variables")
         poly = Poly(A, np.asarray(lb, dtype=np.float64),
                     np.asarray(ub, dtype=np.float64))
         cid = max(self.constraints.keys(), default=0) + 1

@@ -291,3 +291,14 @@ def test_interpolation_avoid_swept_certificates():
     c = x[i + K]
     np.testing.assert_allclose(c, eps.min(), atol=1e-5)
     assert c >= -1e-6
+
+
+def test_vis_equilibria_constellation_overlay(tmp_path):
+    """jl:250-267: solve every unique DAG at one seed, overlay equilibria on
+    the constellation figure (matplotlib Agg; limited to 1-edge DAGs)."""
+    from qpn_tpu.models.four_player_matrix_game import vis_equilibria
+    p = tmp_path / "fp.png"
+    out = vis_equilibria(seed=495, max_edges=1, save_path=str(p))
+    assert len(out["edge_lists"]) >= 4
+    assert all(x is not None for _, x in out["overlay"])
+    assert p.stat().st_size > 0
