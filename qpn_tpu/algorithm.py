@@ -112,6 +112,8 @@ def verify_solution(qp, pid, constraints: Sequence[Poly], dec_inds, x,
         return SimpleNamespace(solution=False, lam=None,
                                e="Current point is suboptimal")
 
+    # NOTE the 1e-3 feasibility gate above reports `tol` in its message:
+    # deliberate reference parity (qp_processing.jl:86-89 does exactly this)
     ax = A @ x
     pos = ax < l + 1e-2          # lower-active window (qp_processing.jl:98)
     neg = ax > u - 1e-2
@@ -145,6 +147,8 @@ def verify_solution(qp, pid, constraints: Sequence[Poly], dec_inds, x,
     Ad = A[:, dec_inds]
     try:
         lam = solve_qp(Ad @ Ad.T, -Ad @ q_tilde, np.eye(m), lb, ub)
+        # fixed 1e-4 acceptance independent of `tol`: reference parity
+        # (qp_processing.jl:140 hard-codes atol=1e-4 in the fallback)
         if np.allclose(Ad.T @ lam, q_tilde, atol=1e-4):
             return SimpleNamespace(solution=True, lam=lam, e=None)
         return SimpleNamespace(solution=False, lam=lam,
@@ -283,14 +287,6 @@ def _prepare_qp_tasks(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion]):
     check_convexity = qpn.options.check_convexity
 
     child_inds = sorted(qpn.network_edges[pid])
-    if check_convexity:
-        base_A = (np.vstack([c.A for c in base_constraints])
-                  if base_constraints else np.zeros((0, len(x))))
-        base_l = (np.concatenate([c.l for c in base_constraints])
-                  if base_constraints else np.zeros(0))
-        base_u = (np.concatenate([c.u for c in base_constraints])
-                  if base_constraints else np.zeros(0))
-        check_qp_convexity(qp.f.Q, base_A, base_l, base_u, dec_inds, pid)
     if child_inds:
         cardinalities = [range(len(S[j])) for j in child_inds]
         if any(len(c) < 1 for c in cardinalities):
@@ -306,10 +302,37 @@ def _prepare_qp_tasks(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion]):
         combos = [()]
         combo_constraints = [base_constraints]
         tasks = [(qp, base_constraints, dec_inds)]
+    if check_convexity:
+        _audit_convexity(qp, pid, x, dec_inds, base_constraints,
+                         combo_constraints)
     return SimpleNamespace(qp=qp, base_constraints=base_constraints,
                            dec_inds=dec_inds, child_inds=child_inds,
                            combos=combos, combo_constraints=combo_constraints,
                            tasks=tasks)
+
+
+def _audit_convexity(qp, pid, x, dec_inds, base_constraints,
+                     combo_constraints):
+    """Reference semantics audit the nullspace-reduced Hessian PER child-
+    piece combination with the child polys appended (check_qp_convexity is
+    invoked inside verify_solution, qp_processing.jl:69).  Child polys can
+    only pin MORE directions, so the combo nullspace is a subspace of the
+    base nullspace: if the base audit passes, every combo passes — only on
+    base failure does each combo need its own (possibly passing) audit."""
+    def _stack(cons):
+        if not cons:
+            return (np.zeros((0, len(x))), np.zeros(0), np.zeros(0))
+        return (np.vstack([c.A for c in cons]),
+                np.concatenate([c.l for c in cons]),
+                np.concatenate([c.u for c in cons]))
+
+    try:
+        check_qp_convexity(qp.f.Q, *_stack(base_constraints), dec_inds, pid)
+        return
+    except RuntimeError:
+        pass
+    for cons in combo_constraints:
+        check_qp_convexity(qp.f.Q, *_stack(cons), dec_inds, pid)
 
 
 def _finish_process_qp(qpn: QPNet, pid: int, x, prep, verifies,
@@ -1014,6 +1037,10 @@ def solve(qpn: QPNet, x_init=None, parent_level_request=frozenset(),
     if checkpoint_path is not None:
         from .utils.checkpoint import FrontierStore
         qpn.frontier_store = FrontierStore(str(checkpoint_path) + ".frontiers")
+    else:
+        # a later solve() WITHOUT a checkpoint path must not silently resume
+        # (or keep writing) frontiers from an earlier checkpointed run
+        qpn.frontier_store = None
     # under a lockstep broker N scenario threads run solve() concurrently;
     # resetting the process-global METRICS here would wipe the other
     # scenarios' counters mid-run

@@ -146,7 +146,16 @@ def all_Ks(J) -> Set[Recipe]:
     for Ji in J:
         count *= len(Ji)
         if count > _MAX_RECIPES_PER_POINT:
+            # no silent caps: dropped tail recipes mean the local solution
+            # map under-covers — say so, don't just bump a counter
             METRICS.bump("recipes_capped")
+            import logging
+            logging.getLogger(__name__).warning(
+                "all_Ks: %d label combinations exceed the %d-recipe cap; "
+                "tail recipes dropped — the local solution map may "
+                "under-cover (raise qpn_tpu.enumeration."
+                "_MAX_RECIPES_PER_POINT to lift)", count,
+                _MAX_RECIPES_PER_POINT)
             break
     from .utils import native
     arr = native.recipe_product(J, _MAX_RECIPES_PER_POINT)
@@ -365,6 +374,13 @@ class LocalGAVISolutions:
         h.update(np.asarray(quantize(self.z)).tobytes())
         h.update(np.asarray(quantize(self.w)).tobytes())
         h.update(bytes([self.level & 0xFF, self.subpiece_index & 0xFF]))
+        # exploration settings shape the frontier: a stored frontier computed
+        # under a different vertex budget or request set must not be resumed
+        h.update(int(self.max_vertices).to_bytes(8, "little", signed=False))
+        for req in sorted(self.permuted_request,
+                          key=lambda r: tuple(np.asarray(r.a).flatten())):
+            h.update(np.round(np.asarray(req.a, dtype=np.float64),
+                              9).tobytes())
         return h.hexdigest()[:16]
 
     def frontier_state(self) -> dict:
@@ -528,7 +544,14 @@ class LocalGAVISolutions:
 
 def unpermute(request, dim: int, var_inds, param_inds):
     """Re-express request directions from x layout into [z1 | extra | w]
-    layout (avi_solutions.jl:58-77)."""
+    layout (avi_solutions.jl:58-77).
+
+    Reference parity note: callers pass ``dim = n + m`` (z+w dims, incl.
+    dual coordinates — avi_solutions.jl:118), so requests whose length is
+    the plain x dimension are silently skipped and a length-``dim`` input
+    has its tail read through ``extra`` slots.  The reference's dormant
+    request flow carries the identical quirk; the live flow only produces
+    length-``dim`` directions (tests/test_requests_e2e.py)."""
     if not request:
         return frozenset()
     dv, dp = len(var_inds), len(param_inds)
@@ -615,7 +638,8 @@ def get_single_solution(gavi: GAVI, z, w, level, subpiece_index,
         ll = np.concatenate([l - Aw, [-max_walk]])
         uu = np.concatenate([u - Aw, [max_walk]])
         sol = batch_qp.solve_qp_np(np.zeros((n, n)), q, An, ll, uu)
-        if sol.status in (1, 2) and not np.allclose(z, sol.x, atol=1e-4):
+        if (sol.status in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE)
+                and not np.allclose(z, sol.x, atol=1e-4)):
             z = np.asarray(sol.x)
             J = comp_indices(gavi, z, w)
             K = max_freedom_K(J)

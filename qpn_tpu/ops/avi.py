@@ -406,8 +406,13 @@ def _solve_avi_batch_adaptive_impl(M, q, l, u, z0, var_mask, *, tol,
         r_i = np.asarray(res.resid)[:len(idx)]
         c_i = np.asarray(res.converged)[:len(idx)]
         k_i = np.asarray(res.iters)[:len(idx)]
-        z_out[idx] = z_i
-        resid_out[idx] = r_i
+        # keep a stage's result only where it improves the stored residual:
+        # a straggler reseeded from a neighbor can DIVERGE in a later stage,
+        # and an unconditional overwrite would discard its earlier best
+        # (resid_out starts at inf, so stage 0 always lands)
+        upd = r_i < resid_out[idx]
+        z_out[idx[upd]] = z_i[upd]
+        resid_out[idx[upd]] = r_i[upd]
         conv_out[idx] = c_i
         iters_out[idx] += k_i
         idx = idx[~c_i]
@@ -603,11 +608,11 @@ def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
             idx32 = np.nonzero(~okL)[0]
             Bp = bucket(len(idx32), CONFIG.batch_buckets)
             z64, st64, piv64 = (np.asarray(a)[:len(idx32)] for a in
-                                solve_lemke_batch(
+                                jax.device_get(solve_lemke_batch(
                 *_pad_lanes(Bp, M[idx32], q[idx32], l64[idx32], u64[idx32],
                             np.zeros((len(idx32), n)),
                             np.asarray(var_mask, dtype=bool)[idx32]),
-                tol=1e-11, max_pivots=max_pivots))
+                tol=1e-11, max_pivots=max_pivots)))
             r64 = natural_residual_np(M[idx32], q[idx32], l64[idx32],
                                       u64[idx32], z64,
                                       np.asarray(var_mask)[idx32])

@@ -153,3 +153,28 @@ def test_get_single_solution_runs():
         np.random.default_rng(0))
     assert piece.m >= 1
     assert np.allclose(x, [2.0, 2.0])
+
+
+def test_convexity_audit_per_combo():
+    """Reference semantics audit convexity PER child-piece combination
+    (check_qp_convexity runs inside verify_solution with the child polys
+    appended, qp_processing.jl:69): a Q indefinite on the base nullspace but
+    PSD on every combo's (smaller) nullspace must pass; it must still raise
+    when some combo leaves the bad direction free."""
+    import pytest
+    from types import SimpleNamespace
+    from qpn_tpu.algorithm import _audit_convexity
+    from qpn_tpu.geometry.poly import Poly
+    from qpn_tpu.network import Quadratic
+
+    Q = np.diag([1.0, -1.0])
+    qp = SimpleNamespace(f=Quadratic(Q, np.zeros(2), 0.0))
+    x = np.zeros(2)
+    box = Poly(np.eye(2), np.full(2, -1.0), np.full(2, 1.0))
+    pin_y = Poly(np.array([[0.0, 1.0]]), np.zeros(1), np.zeros(1))
+
+    # base audit fails (y free), but the only combo pins y=0 -> PSD reduced
+    _audit_convexity(qp, 1, x, [0, 1], [box], [[box, pin_y]])
+
+    with pytest.raises(RuntimeError, match="not convex"):
+        _audit_convexity(qp, 1, x, [0, 1], [box], [[box], [box, pin_y]])

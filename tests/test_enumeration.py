@@ -177,3 +177,36 @@ def test_frontier_resume_with_pending_vertices(tmp_path):
     gen2 = LocalGAVISolutions(gavi, z, w, 0, 0, [0, 1], [0, 1],
                               max_vertices=10 ** 6, frontier_store=store)
     assert key_set(gen2.collect()) == truth
+
+
+def test_frontier_key_depends_on_exploration_settings():
+    """A stored frontier computed under one vertex budget (or request set)
+    must not be resumed under another: the key must differ."""
+    from qpn_tpu.enumeration import LocalGAVISolutions
+    from qpn_tpu.ops.avi import GAVI
+    g = GAVI(M=np.eye(1), N=np.zeros((1, 1)), o=np.zeros(1),
+             l1=np.zeros(1), u1=np.full(1, np.inf),
+             A=np.zeros((0, 1)), B=np.zeros((0, 1)),
+             l2=np.zeros(0), u2=np.zeros(0))
+
+    def key(mv):
+        s = LocalGAVISolutions(g, np.zeros(1), np.zeros(1), 0, 0, [0], [0],
+                               max_vertices=mv)
+        return s._frontier_key()
+
+    assert key(10) != key(1000)
+    assert key(10) == key(10)
+
+
+def test_solve_clears_stale_frontier_store(tmp_path):
+    """solve() without checkpoint_path must not silently keep resuming (or
+    writing) frontiers from an earlier checkpointed run on the same QPNet."""
+    import qpn_tpu as qt
+    qpn = qt.setup("simple_bilevel", gen_solution_map=True)
+    x0 = np.array([0.0, 1.0, 0.0, 0.0])
+    ret = qt.solve(qpn, x0, checkpoint_path=str(tmp_path / "ck"))
+    assert ret.solved
+    assert qpn.frontier_store is not None   # checkpointed run attaches
+    # after a checkpointed solve, a plain solve must detach the store
+    qt.solve(qpn, x0)
+    assert getattr(qpn, "frontier_store", None) is None
