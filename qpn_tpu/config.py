@@ -152,6 +152,17 @@ def small_dispatch_device(n_elems: int):
     yield False
 
 
+def effective_backend() -> str:
+    """The platform kernels will actually land on: jax.default_backend()
+    unless a default-device override (small_dispatch_device) is active —
+    Mosaic must never target a CPU placement on a TPU-default process."""
+    backend = jax.default_backend()
+    dev = getattr(jax.config, "jax_default_device", None)
+    if dev is not None and getattr(dev, "platform", None):
+        backend = dev.platform
+    return backend
+
+
 def pallas_screen_enabled() -> bool:
     if CONFIG.use_pallas_screen is not None:
         return CONFIG.use_pallas_screen

@@ -57,32 +57,43 @@ int64_t qpn_recipe_product(const int32_t* labels, const int64_t* offsets,
     return count;
 }
 
+// Quantize one value to `scale` decimal digits: half-to-even rounding
+// (nearbyint under the default FP env, matching np.round in the Python
+// fallback exactly), -0.0 folded to 0.0, NaN/overflow clamped to sentinel
+// int64 codes.  The ONE copy of the subtle clamp constants.
+static inline int64_t qpn_quantize_value(double x, double scale) {
+    double v = std::nearbyint(x * scale);
+    if (v == 0.0) v = 0.0;  // fold -0.0
+    if (std::isnan(v)) return INT64_MIN;
+    if (v > 9.2e18) return INT64_MAX;
+    if (v < -9.2e18) return INT64_MIN + 1;
+    return (int64_t)v;
+}
+
+static inline uint64_t qpn_fnv1a_row(const int64_t* q, int64_t cols) {
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t c = 0; c < cols; ++c) {
+        const unsigned char* bytes = (const unsigned char*)(q + c);
+        for (int b = 0; b < 8; ++b) {
+            h ^= bytes[b];
+            h *= 1099511628211ULL;
+        }
+    }
+    return h;
+}
+
 // FNV-1a hash of rows rounded to `digits` decimal digits; -0.0 folds to 0.0.
 // data: (rows * cols) doubles; out: rows uint64 hashes.
 void qpn_quantize_hash(const double* data, int64_t rows, int64_t cols,
                        int32_t digits, uint64_t* out) {
     const double scale = std::pow(10.0, digits);
+    int64_t* q = new int64_t[cols];
     for (int64_t r = 0; r < rows; ++r) {
-        uint64_t h = 1469598103934665603ULL;
         const double* row = data + r * cols;
-        for (int64_t c = 0; c < cols; ++c) {
-            // nearbyint = half-to-even (default FP env), matching
-            // np.round in the Python fallback exactly
-            double v = std::nearbyint(row[c] * scale);
-            if (v == 0.0) v = 0.0;  // fold -0.0
-            int64_t q;
-            if (std::isnan(v)) q = INT64_MIN;
-            else if (v > 9.2e18) q = INT64_MAX;
-            else if (v < -9.2e18) q = INT64_MIN + 1;
-            else q = (int64_t)v;
-            const unsigned char* bytes = (const unsigned char*)&q;
-            for (int b = 0; b < 8; ++b) {
-                h ^= bytes[b];
-                h *= 1099511628211ULL;
-            }
-        }
-        out[r] = h;
+        for (int64_t c = 0; c < cols; ++c) q[c] = qpn_quantize_value(row[c], scale);
+        out[r] = qpn_fnv1a_row(q, cols);
     }
+    delete[] q;
 }
 
 // Deduplicate rows by quantized equality: out_keep[r] = 1 iff row r is the
@@ -93,20 +104,14 @@ void qpn_dedupe_rows(const double* data, int64_t rows, int64_t cols,
                      int32_t digits, uint8_t* out_keep) {
     const double scale = std::pow(10.0, digits);
     int64_t* q = new int64_t[rows * cols];
+    uint64_t* hashes = new uint64_t[rows];
     for (int64_t r = 0; r < rows; ++r) {
         for (int64_t c = 0; c < cols; ++c) {
-            double v = std::nearbyint(data[r * cols + c] * scale);
-            if (v == 0.0) v = 0.0;
-            int64_t qi;
-            if (std::isnan(v)) qi = INT64_MIN;
-            else if (v > 9.2e18) qi = INT64_MAX;
-            else if (v < -9.2e18) qi = INT64_MIN + 1;
-            else qi = (int64_t)v;
-            q[r * cols + c] = qi;
+            q[r * cols + c] = qpn_quantize_value(data[r * cols + c], scale);
         }
+        // hash the already-quantized buffer: one quantization pass total
+        hashes[r] = qpn_fnv1a_row(q + r * cols, cols);
     }
-    uint64_t* hashes = new uint64_t[rows];
-    qpn_quantize_hash(data, rows, cols, digits, hashes);
     for (int64_t r = 0; r < rows; ++r) {
         out_keep[r] = 1;
         for (int64_t p = 0; p < r; ++p) {

@@ -75,11 +75,15 @@ def synth_bounds(l, u, z0, synth_scale):
 
     With every variable boxed, the initial Lemke basis is pure slack (∓I,
     always invertible — the structurally singular free/free saddle blocks of
-    equilibrium KKT systems never enter a factorization) and ray termination
-    is impossible (the almost-complementary path in a compact box always ends
-    with t exiting).  A solution pressed against a synthetic bound is NOT a
-    solution of the original AVI; callers audit against the true bounds and
-    retry with a larger box (see lemke_escalate).
+    equilibrium KKT systems never enter a factorization) and the PRIMAL
+    iterates stay in a compact box.  Ray termination is still possible
+    (rarely — measured ~3% on adversarial degenerate M): entering SLACKS
+    keep an infinite upper bound, so an all-infinite ratio column can occur
+    on rank-deficient/indefinite M even inside the box; callers must treat
+    LEMKE_RAY as a normal failure status, never as unreachable.  A solution
+    pressed against a synthetic bound is NOT a solution of the original AVI;
+    callers audit against the true bounds and retry with a larger box (see
+    lemke_escalate).
     """
     ref = np.clip(np.nan_to_num(np.clip(np.nan_to_num(z0), l, u)),
                   -1e12, 1e12)
@@ -514,7 +518,11 @@ def _lemke_single(M, q, l, u, z0, var_mask, *, tol, piv_tol, max_pivots,
                            jnp.where(~do_flip & bad_piv, LEMKE_SINGULAR,
                                      jnp.where(do_pivot & t_exits,
                                                LEMKE_SUCCESS, status)))
-        return (T, basis, val, entering_n, dir_n, ev_n, k + 1, status)
+        # pivot-count parity with the numpy oracle / C++ port: a ray or
+        # singular termination performs NO pivot, so k must not advance
+        # (the oracle returns before its `pivots += 1`)
+        k_n = jnp.where(is_ray | (~do_flip & bad_piv), k, k + 1)
+        return (T, basis, val, entering_n, dir_n, ev_n, k_n, status)
 
     state0 = (T1, basis1, val0, ent0, dir0, ev0, jnp.int32(1),
               jnp.int32(status_init))
@@ -624,15 +632,12 @@ def solve_lemke_batch_state_auto(M, q, l, u, z0, var_mask, tol=1e-9,
     ops/lemke_pallas.py), the XLA ``while_loop`` lane elsewhere.  Any
     Pallas failure falls back to the XLA route (visible in metrics).
     """
-    from ..config import CONFIG
+    from ..config import CONFIG, effective_backend
     mode = CONFIG.lemke_kernel
-    backend = jax.default_backend()
     # the small-dispatch CPU override (config.small_dispatch_device) moves
     # sub-threshold batches to the local CPU backend without changing
     # default_backend(); honor it so Mosaic never targets a CPU placement
-    dev = getattr(jax.config, "jax_default_device", None)
-    if dev is not None and getattr(dev, "platform", None):
-        backend = dev.platform
+    backend = effective_backend()
     use_pallas = (backend == "tpu") if mode == "auto" else (mode == "pallas")
     # sub-8 batches can't fill a lane tile (Mosaic also miscompiles the
     # (1, n) reduction shapes — "Offset change"); a failed remote compile
@@ -749,6 +754,42 @@ def solve_lemke_batch_padded(M, q, l, u, z0, var_mask, tol=1e-9):
             np.asarray(piv)[:B])
 
 
+def _classify_lp_pivot(c, x, Ax, l, u, resid, status, tol, row_mask=None):
+    """Shared trust-ladder classification for both LP pivot routes.
+
+    Only certificates we can trust: SOLVED needs the audited natural
+    residual; DUAL_INFEASIBLE (unbounded) needs a primal-feasible point
+    pressed far into the synthetic box with a correspondingly huge
+    objective.  Everything else — including apparent primal violation,
+    which may just be pivot-path numerical degradation — is MAX_ITER and
+    falls back to the ADMM engine with its certificates.
+
+    NaN violations (inf-cancellation on a garbage fallback point) map to
+    +inf so they FAIL the feasibility gate: a positive certificate must
+    never be granted on an unverifiable point."""
+    from . import batch_qp
+    with np.errstate(invalid="ignore"):
+        viol = np.maximum(np.maximum(
+            np.where(np.isfinite(l), l, -_INF) - Ax,
+            Ax - np.where(np.isfinite(u), u, _INF)), 0.0)
+    viol = np.nan_to_num(viol, nan=np.inf, posinf=np.inf)
+    if row_mask is not None:
+        viol = np.where(row_mask, viol, 0.0)
+    pviol = viol.max(axis=1, initial=0.0)
+    clean = status == LEMKE_SUCCESS
+    solved = clean & (resid <= tol)
+    obj = np.einsum("bn,bn->b", c, x)
+    huge = 1e3 * (1.0 + np.abs(np.where(np.isfinite(l), l, 0.0)).max(
+        axis=1, initial=0.0)
+        + np.abs(np.where(np.isfinite(u), u, 0.0)).max(axis=1, initial=0.0)
+        + np.abs(c).sum(axis=1))
+    unbounded = clean & ~solved & (pviol <= 1e-6) & (obj < -huge)
+    st = np.where(solved, batch_qp.SOLVED,
+                  np.where(unbounded, batch_qp.DUAL_INFEASIBLE,
+                           batch_qp.MAX_ITER)).astype(np.int32)
+    return st, pviol, obj
+
+
 def solve_lp_host_batch(c, A, l, u, row_mask, *, tol=1e-7):
     """Native exact-shape pivot solve for a batch of small dense LPs.
 
@@ -811,23 +852,10 @@ def solve_lp_host_batch(c, A, l, u, row_mask, *, tol=1e-7):
             proj = np.clip(z - F, lA, uA)
         resid = np.abs(z - proj).max(axis=1, initial=0.0)
         Ax = np.einsum("bmn,bn->bm", Ab, xg)
-        with np.errstate(invalid="ignore"):
-            viol = np.maximum(np.maximum(
-                np.where(np.isfinite(lb), lb, -_INF) - Ax,
-                Ax - np.where(np.isfinite(ub), ub, _INF)), 0.0)
-        pviol = (np.nan_to_num(viol, nan=0.0, posinf=1e30)
-                 .max(axis=1, initial=0.0))
-        clean = stg == LEMKE_SUCCESS
-        solved = clean & (resid <= tol)
-        obj_g = np.einsum("bn,bn->b", c[idxs], xg)
-        huge = 1e3 * (1.0 + np.abs(np.where(np.isfinite(lb), lb, 0.0)).max(
-            axis=1, initial=0.0)
-            + np.abs(np.where(np.isfinite(ub), ub, 0.0)).max(
-                axis=1, initial=0.0) + np.abs(c[idxs]).sum(axis=1))
-        unbounded = clean & ~solved & (pviol <= 1e-6) & (obj_g < -huge)
-        stl = np.where(solved, batch_qp.SOLVED,
-                       np.where(unbounded, batch_qp.DUAL_INFEASIBLE,
-                                batch_qp.MAX_ITER)).astype(np.int32)
+        # NOTE the resid audit here is unmasked (exact shapes on the host
+        # route: every row is real), while the bucketed route masks by vm
+        stl, pviol, obj_g = _classify_lp_pivot(c[idxs], xg, Ax, lb, ub,
+                                               resid, stg, tol)
         bidx = np.asarray(idxs)
         x[bidx] = xg
         y_tmp = np.zeros((k, m0))
@@ -878,11 +906,13 @@ def solve_lp_lemke_batch(c, A, l, u, row_mask, *, tol=1e-7,
     duals come out exact.  Returns a batch_qp.QPSolution (same field/sign
     conventions: ``y = −λ``, so y>0 pushes on the upper bound).
 
-    Status classification from the big-M pivot output: a certified natural
-    residual ⇒ SOLVED; else a primal-feasible point pressed into the
-    synthetic box ⇒ DUAL_INFEASIBLE (unbounded); else PRIMAL_INFEASIBLE.
-    Lanes whose pivot run did not terminate cleanly are marked MAX_ITER so
-    the caller can fall back.
+    Status classification from the big-M pivot output (exactly THREE
+    statuses — see _classify_lp_pivot): a certified natural residual ⇒
+    SOLVED; else a primal-feasible point pressed into the synthetic box ⇒
+    DUAL_INFEASIBLE (unbounded); EVERYTHING else — including apparently
+    infeasible lanes, whose violation may just be pivot-path degradation —
+    is MAX_ITER and falls back to the ADMM engine, which owns the
+    PRIMAL_INFEASIBLE certificates.
     """
     from . import batch_qp
     from ..config import bucket, CONFIG
@@ -944,28 +974,8 @@ def solve_lp_lemke_batch(c, A, l, u, row_mask, *, tol=1e-7,
         proj = np.clip(z - F, lA, uA)
     resid = np.abs(np.where(vm, z - proj, 0.0)).max(axis=1, initial=0.0)
     Ax = np.einsum("bmn,bn->bm", A, x)
-    with np.errstate(invalid="ignore"):
-        viol = np.maximum(np.maximum(
-            np.where(np.isfinite(l), l, -_INF) - Ax,
-            Ax - np.where(np.isfinite(u), u, _INF)), 0.0)
-    pviol = np.where(row_mask, np.nan_to_num(viol, nan=0.0, posinf=1e30),
-                     0.0).max(axis=1, initial=0.0)
-    # Classification: only certificates we can trust.  SOLVED needs the
-    # audited natural residual; DUAL_INFEASIBLE (unbounded) needs a
-    # primal-feasible point pressed far into the synthetic box with a
-    # correspondingly huge objective.  Everything else — including apparent
-    # primal violation, which may just be pivot-path numerical degradation —
-    # is UNKNOWN and falls back to the ADMM engine with its certificates.
-    clean = status == LEMKE_SUCCESS
-    solved = clean & (resid <= tol)
-    obj_raw = np.einsum("bn,bn->b", c, x)
-    huge = 1e3 * (1.0 + np.abs(np.where(np.isfinite(l), l, 0.0)).max(
-        axis=1, initial=0.0) + np.abs(np.where(np.isfinite(u), u, 0.0)).max(
-        axis=1, initial=0.0) + np.abs(c).sum(axis=1))
-    unbounded = clean & ~solved & (pviol <= 1e-6) & (obj_raw < -huge)
-    st = np.where(solved, batch_qp.SOLVED,
-                  np.where(unbounded, batch_qp.DUAL_INFEASIBLE,
-                           batch_qp.MAX_ITER)).astype(np.int32)
+    st, pviol, obj_raw = _classify_lp_pivot(c, x, Ax, l, u, resid, status,
+                                            tol, row_mask=row_mask)
     # unpad to caller shapes (as writable copies), then fall back on
     # unresolved lanes
     from ..utils.metrics import METRICS

@@ -312,7 +312,11 @@ def _make_kernel(n: int, max_pivots: int, tol: float, piv_tol: float):
                                      s_sing,
                                      jnp.where(do_pivot & t_exits,
                                                s_succ, st)))
-            piv = piv + active.astype(jnp.int32)
+            # pivot-count parity with the numpy oracle / C++ port: a ray or
+            # singular termination performs NO pivot, so the counter must
+            # not advance on the terminating iteration
+            piv = piv + (active & ~is_ray
+                         & (do_flip | ~bad_piv)).astype(jnp.int32)
             return (Tv, rhs, basis, val, blb, bub, ent, edir, ev, piv, st,
                     kg + i1)
 

@@ -33,7 +33,10 @@ _LANE = 128
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    # honor the small-dispatch CPU override exactly like the lemke
+    # dispatcher: Mosaic must never lower against a CPU placement
+    from ..config import effective_backend
+    return effective_backend() != "tpu"
 
 
 def _pad_lane(n: int) -> int:
@@ -180,45 +183,56 @@ def eg_warmstart(M, q, l, u, z0, var_mask, steps: int = 200,
 #  feasibility screen
 # --------------------------------------------------------------------------
 
+_SCREEN_TILE = 8   # lanes per grid program (grid programs serialize on the
+                   # tensorcore — same tiling rationale as _EG_TILE)
+
+
 def _screen_kernel(A_ref, l_ref, u_ref, x_ref, out_x_ref, out_v_ref, *,
                    steps, lr):
-    A = A_ref[0]              # (m, n)
-    l = l_ref[0]              # (1, m)
-    u = u_ref[0]
-    x = x_ref[0]              # (1, n)
+    A = A_ref[...]            # (T, m, n)
+    l = l_ref[...]            # (T, m)
+    u = u_ref[...]
+    x = x_ref[...]            # (T, n)
 
     def viol(x):
-        ax = jnp.dot(x, A.T, preferred_element_type=jnp.float32)
+        ax = jax.lax.dot_general(
+            A, x[:, :, None], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, :, 0]     # (T, m)
         return jnp.maximum(l - ax, 0.0) + jnp.minimum(u - ax, 0.0)
 
     def body(i, x):
         v = viol(x)           # positive where below l, negative where above u
-        g = jnp.dot(v, A, preferred_element_type=jnp.float32)
+        g = jax.lax.dot_general(
+            v[:, None, :], A, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]     # (T, n)
         return x + lr * g
 
     x = jax.lax.fori_loop(jnp.int32(0), jnp.int32(steps), body, x)
     v = viol(x)
-    out_x_ref[0] = x
-    out_v_ref[0] = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
+    out_x_ref[...] = x
+    out_v_ref[...] = jnp.max(jnp.abs(v), axis=-1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("steps", "lr"))
 def _screen_call(A, l, u, x0, *, steps, lr):
     B, m, n = A.shape
+    T = _SCREEN_TILE
+    assert B % T == 0, "caller pads the batch to the screen tile"
     kern = functools.partial(_screen_kernel, steps=steps, lr=lr)
     return pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // T,),
         in_specs=[
-            pl.BlockSpec((1, m, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-            pl.BlockSpec((1, 1, m), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-            pl.BlockSpec((1, 1, m), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-            pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((T, m, n),
+                         lambda b: (b, jnp.int32(0), jnp.int32(0))),
+            pl.BlockSpec((T, m), lambda b: (b, jnp.int32(0))),
+            pl.BlockSpec((T, m), lambda b: (b, jnp.int32(0))),
+            pl.BlockSpec((T, n), lambda b: (b, jnp.int32(0))),
         ],
-        out_specs=(pl.BlockSpec((1, 1, n), lambda b: (b, jnp.int32(0), jnp.int32(0))),
-                   pl.BlockSpec((1, 1, 1), lambda b: (b, jnp.int32(0), jnp.int32(0)))),
-        out_shape=(jax.ShapeDtypeStruct((B, 1, n), jnp.float32),
-                   jax.ShapeDtypeStruct((B, 1, 1), jnp.float32)),
+        out_specs=(pl.BlockSpec((T, n), lambda b: (b, jnp.int32(0))),
+                   pl.BlockSpec((T, 1), lambda b: (b, jnp.int32(0)))),
+        out_shape=(jax.ShapeDtypeStruct((B, n), jnp.float32),
+                   jax.ShapeDtypeStruct((B, 1), jnp.float32)),
         interpret=_interpret(),
     )(A, l, u, x0)
 
@@ -237,28 +251,28 @@ def feasibility_screen(polys, x0=None, steps: int = 120, lr: float = 0.05,
     m_max = max(max(p.m, 1) for p in polys)
     mp = _pad8(m_max)
     np_ = _pad_lane(n)
+    Bp = ((B + _SCREEN_TILE - 1) // _SCREEN_TILE) * _SCREEN_TILE
     BIG = np.float32(3e38)
-    A = np.zeros((B, mp, np_), dtype=np.float32)
-    l = np.full((B, 1, mp), -BIG, dtype=np.float32)
-    u = np.full((B, 1, mp), BIG, dtype=np.float32)
+    A = np.zeros((Bp, mp, np_), dtype=np.float32)
+    l = np.full((Bp, mp), -BIG, dtype=np.float32)
+    u = np.full((Bp, mp), BIG, dtype=np.float32)
     for i, p in enumerate(polys):
         A[i, :p.m, :n] = p.A
-        l[i, 0, :p.m] = np.where(np.isfinite(p.l), p.l, -BIG)
-        u[i, 0, :p.m] = np.where(np.isfinite(p.u), p.u, BIG)
-    x = np.zeros((B, 1, np_), dtype=np.float32)
+        l[i, :p.m] = np.where(np.isfinite(p.l), p.l, -BIG)
+        u[i, :p.m] = np.where(np.isfinite(p.u), p.u, BIG)
+    x = np.zeros((Bp, np_), dtype=np.float32)
     if x0 is not None:
-        x[:, 0, :n] = np.asarray(x0, dtype=np.float32)
+        x[:B, :n] = np.asarray(x0, dtype=np.float32)
     # row-normalize for a uniform step size
-    norms = np.maximum(np.linalg.norm(A, axis=2, keepdims=True), 1e-6)
-    A_n = A / norms
-    nt = norms.transpose(0, 2, 1)
-    l_fin = np.clip(l, -1e30, 1e30) / nt
-    u_fin = np.clip(u, -1e30, 1e30) / nt
+    norms = np.maximum(np.linalg.norm(A, axis=2), 1e-6)     # (Bp, mp)
+    A_n = A / norms[:, :, None]
+    l_fin = np.clip(l, -1e30, 1e30) / norms
+    u_fin = np.clip(u, -1e30, 1e30) / norms
     l_n = np.where(l <= -BIG / 2, l, l_fin).astype(np.float32)
     u_n = np.where(u >= BIG / 2, u, u_fin).astype(np.float32)
     xs, vs = _screen_call(A_n, l_n, u_n, x, steps=steps, lr=lr)
-    xs = np.asarray(xs)[:, 0, :n].astype(np.float64)
-    vs = np.asarray(vs)[:, 0, 0]
+    xs = np.asarray(xs)[:B, :n].astype(np.float64)
+    vs = np.asarray(vs)[:B, 0]
     witnessed = np.zeros(B, dtype=bool)
     witnesses = [None] * B
     for i, p in enumerate(polys):

@@ -280,3 +280,37 @@ class TestLemkeLPEngineEndToEnd:
             assert len(list(ret.Sol[2])) >= 1
         finally:
             CONFIG.lp_engine = old
+
+
+def test_ray_pivot_count_parity_with_oracle():
+    """On RAY/SINGULAR termination no pivot is performed: the numpy oracle
+    returns before its `pivots += 1`, and the batched XLA engine must agree
+    lane-for-lane (it previously over-counted the terminating iteration)."""
+    from qpn_tpu.ops.lemke import (solve_lemke_np, solve_lemke_batch,
+                                   LEMKE_RAY)
+    rng = np.random.default_rng(7)
+    n, B = 6, 64
+    Ms, qs = [], []
+    for b in range(B):
+        if b % 2:
+            v = rng.standard_normal((n, 1))
+            Mb = v @ v.T                      # rank-1
+        else:
+            G = rng.standard_normal((n, n))
+            Mb = -(G @ G.T) / n - 0.1 * np.eye(n)   # negative definite
+        Ms.append(Mb)
+        qs.append(rng.standard_normal(n))
+    M, q = np.stack(Ms), np.stack(qs)
+    l = np.full((B, n), -np.inf)
+    u = np.full((B, n), np.inf)
+    z0 = np.zeros((B, n))
+    mask = np.ones((B, n), dtype=bool)
+    zB, stB, pvB = map(np.asarray, solve_lemke_batch(M, q, l, u, z0, mask))
+    n_ray = 0
+    for b in range(B):
+        z1, st1, pv1 = solve_lemke_np(M[b], q[b], l[b], u[b], z0[b])
+        assert st1 == stB[b], f"lane {b}: status {st1} vs {stB[b]}"
+        assert pv1 == pvB[b], f"lane {b}: pivots {pv1} vs {pvB[b]}"
+        n_ray += int(st1 == LEMKE_RAY)
+    # the sweep must actually exercise the ray path
+    assert n_ray >= 1
