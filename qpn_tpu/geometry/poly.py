@@ -123,8 +123,8 @@ class Poly:
     flattened intersection (sets.jl:223-253).
     """
 
-    __slots__ = ("A", "l", "u", "strict_l", "strict_u", "parent", "row_parents",
-                 "labels_l", "labels_u", "_key")
+    __slots__ = ("A", "l", "u", "strict_l", "strict_u", "parent",
+                 "row_parents", "labels_l", "labels_u", "_key", "_qkey")
 
     def __init__(self, A, l, u, strict_l=None, strict_u=None, *, parent=None,
                  row_parents=None, labels_l=None, labels_u=None,

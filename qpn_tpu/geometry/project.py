@@ -141,8 +141,12 @@ def _dedupe_onesided(C, b, strict, tol=1e-9):
         key = tuple(np.round(Cn[i], 7))
         if key not in best or bn[i] < best[key][0] - tol:
             best[key] = (bn[i], sn[i], i)
-        elif abs(bn[i] - best[key][0]) <= tol and sn[i]:
-            best[key] = (best[key][0], True, best[key][2])
+        elif sn[i] and bn[i] <= best[key][0]:
+            # a strict row may tighten a within-tol closed row ONLY when its
+            # bound is actually ≤ the kept one: upgrading `≤ 5` to `< 5`
+            # because of a strictly LOOSER `< 5+1e-16` would drop the shared
+            # facet (a point at 5 satisfies both originals)
+            best[key] = (bn[i], True, best[key][2])
     idx = [v[2] for v in best.values()]
     Co = Cn[idx]
     bo = np.array([best[tuple(np.round(Cn[i], 7))][0] for i in idx])

@@ -58,17 +58,23 @@ CACHE = QueryCache()
 
 
 def poly_key(p) -> bytes:
-    """Content hash of a poly (rows are already normalized/sorted by the
-    Poly constructor, so equal sets produce equal keys)."""
+    """Content hash of a poly, memoized on the instance (``_qkey`` slot).
+
+    Rows are normalized by the Poly constructor but NOT sorted, so the hash
+    runs over a row-sorted view — recurring pieces that differ only by row
+    order (e.g. the same piece re-derived through a different intersection
+    order) must produce equal keys or they always miss the cache."""
     k = getattr(p, "_qkey", None)
     if k is None:
         import hashlib
+        rows = np.column_stack([
+            np.round(p.A, 9),
+            np.round(np.nan_to_num(p.l, neginf=-1e30), 9),
+            np.round(np.nan_to_num(p.u, posinf=1e30), 9),
+            p.strict_l.astype(np.float64), p.strict_u.astype(np.float64)])
+        order = np.lexsort(rows.T[::-1]) if rows.shape[0] else ()
         h = hashlib.blake2b(digest_size=16)
-        h.update(np.round(p.A, 9).tobytes())
-        h.update(np.round(np.nan_to_num(p.l, neginf=-1e30), 9).tobytes())
-        h.update(np.round(np.nan_to_num(p.u, posinf=1e30), 9).tobytes())
-        h.update(p.strict_l.tobytes())
-        h.update(p.strict_u.tobytes())
+        h.update(np.ascontiguousarray(rows[order]).tobytes())
         k = h.digest()
         try:
             p._qkey = k

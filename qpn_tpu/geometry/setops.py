@@ -38,6 +38,14 @@ _INF = np.inf
 #  Padding helpers
 # --------------------------------------------------------------------------
 
+def _abs_close(a, b, atol):
+    """|a−b| ≤ atol with NO relative term: np.isclose's default rtol=1e-5
+    scales with magnitude, so a width-5 slab on bounds near 1e6 would be
+    falsely classified as an implicit equality."""
+    with np.errstate(invalid="ignore"):
+        return np.abs(np.asarray(a) - np.asarray(b)) <= atol
+
+
 def _pad_rows(A, l, u, m_pad):
     m, n = A.shape
     if m == m_pad:
@@ -115,6 +123,7 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2,
     B = len(polys)
     empty = np.zeros(B, dtype=bool)
     examples = [None] * B
+    uncertified = np.zeros(B, dtype=bool)
 
     # group by (n_dim, bucketed 2m rows)
     shapes = [(p.dim, row_bucket(max(2 * p.m, 2))) for p in polys]
@@ -224,10 +233,20 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2,
                 empty[i] = False
                 examples[i] = np.zeros(p.dim)
                 continue
+            if St[k] == batch_qp.MAX_ITER:
+                # UNCONVERGED: decide best-effort from the iterate but mark
+                # the lane so the verdict is NEVER cached (support_batch's
+                # discipline) — a garbage eps replayed process-wide would
+                # poison every later emptiness/subset query on this poly
+                uncertified[i] = True
             if St[k] == batch_qp.DUAL_INFEASIBLE:
-                # eps unbounded below ⇒ strictly feasible
+                # eps unbounded below ⇒ strictly feasible; the iterate is
+                # NOT a solved-LP optimum though — only pass it on as a
+                # witness if it actually lies in the poly
                 empty[i] = False
-                examples[i] = X[k, :p.dim]
+                x = X[k, :p.dim]
+                examples[i] = x if p.closure().contains(
+                    x, tol=max(tol, 1e-6)) else None
                 continue
             eps = X[k, p.dim]
             x = X[k, :p.dim]
@@ -251,6 +270,8 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2,
     for j, i in enumerate(todo):
         empty_all[i] = empty[j]
         examples_all[i] = examples[j]
+        if uncertified[j]:
+            continue          # never cache an unconverged solve's verdict
         if host_witness:
             # vertex-selected witness: cache the verdict only, in the
             # verdict namespace — never as a witness-grade exemplar
@@ -298,9 +319,13 @@ def is_empty_batch(polys: Sequence[Poly], tol: float = 1e-4, x=None):
                 # logged + counted, never silently swallowed.
                 try:
                     from ..ops.pallas_kernels import feasibility_screen
+                    # margin = the caller's tol: the exact decision is
+                    # "empty iff eps* > tol", so a witness may skip the LP
+                    # only when its violation is within THAT tolerance —
+                    # a looser default would flip boundary verdicts
                     witnessed, _ = feasibility_screen(
                         sub, x0=None if x is None else
-                        np.asarray(x)[: sub[0].dim])
+                        np.asarray(x)[: sub[0].dim], margin=tol)
                     need = [i for i, w in zip(need, witnessed) if not w]
                 except Exception as err:
                     import logging
@@ -480,7 +505,10 @@ def issubset_pairs(pairs, tol: float = 1e-6):
                 v = np.maximum(
                     np.where(np.isfinite(P2.l), P2.l - ax, -np.inf),
                     np.where(np.isfinite(P2.u), ax - P2.u, -np.inf))
-            if np.nanmax(v, initial=-np.inf) > 1e-5:
+            # certificate threshold must match the LP path's acceptance
+            # (support ≥ bound − tol): a violation within tol would still
+            # be accepted there, so only a >tol violation may short-circuit
+            if np.nanmax(v, initial=-np.inf) > max(tol, 1e-5):
                 out[pi] = False      # certified non-subset
                 continue
         undecided.append(pi)
@@ -546,7 +574,7 @@ def implicit_bounds(poly: Poly, tol: float = 1e-4):
     vals = np.full(m, _INF)
     todo = []
     for i in range(m):
-        if np.isclose(poly.l[i], poly.u[i], atol=tol):
+        if _abs_close(poly.l[i], poly.u[i], tol):
             implicitly_equality[i] = True
             vals[i] = 0.5 * (poly.l[i] + poly.u[i])
         else:
@@ -568,7 +596,7 @@ def implicit_bounds(poly: Poly, tol: float = 1e-4):
             val_low = -_INF if lo_s == batch_qp.DUAL_INFEASIBLE else lo_v
             val_hi = _INF if hi_s == batch_qp.DUAL_INFEASIBLE else -hi_v
             if np.isfinite(val_low) and np.isfinite(val_hi) and \
-                    np.isclose(val_low, val_hi, atol=tol):
+                    _abs_close(val_low, val_hi, tol):
                 implicitly_equality[i] = True
                 vals[i] = 0.5 * (val_low + val_hi)
     return implicitly_equality, vals

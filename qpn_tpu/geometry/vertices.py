@@ -22,6 +22,7 @@ import numpy as np
 from ..ops import batch_qp
 from .poly import Poly
 from . import setops
+from .setops import _abs_close
 
 
 #: combinatorial budget for exhaustive enumeration: C(#facets, dim) above
@@ -68,7 +69,7 @@ def get_verts_exhaustive(p: Poly, impl: np.ndarray = None, tol: float = 1e-6):
 
     n = p.dim
     if impl is None:
-        impl = np.isclose(p.l, p.u, atol=1e-4)
+        impl = _abs_close(p.l, p.u, 1e-4)
     ab = _affine_basis(p, impl)
     if ab is None:
         return []                      # inconsistent equalities: empty
@@ -91,7 +92,7 @@ def get_verts_exhaustive(p: Poly, impl: np.ndarray = None, tol: float = 1e-6):
         if np.isfinite(lr[i]):
             cand_a.append(Ay[i])
             cand_b.append(lr[i])
-        if np.isfinite(ur[i]) and not np.isclose(lr[i], ur[i], atol=1e-12):
+        if np.isfinite(ur[i]) and not _abs_close(lr[i], ur[i], 1e-12):
             cand_a.append(Ay[i])
             cand_b.append(ur[i])
     Mfac = len(cand_a)
@@ -152,7 +153,7 @@ def get_verts_batch(polys, rng: np.random.Generator = None,
         if empty[pi]:
             results[pi] = "empty"
             continue
-        impl0 = np.isclose(p.l, p.u, atol=1e-4)
+        impl0 = _abs_close(p.l, p.u, 1e-4)
         V = get_verts_exhaustive(p, impl0, tol)
         if V is not None:
             METRICS.bump("verts_exhaustive")
@@ -166,7 +167,7 @@ def get_verts_batch(polys, rng: np.random.Generator = None,
     todo_polys, todo_dirs, owners = [], [], []
     for pi in fallback:
         p = polys[pi]
-        impl = np.isclose(p.l, p.u, atol=1e-4)
+        impl = _abs_close(p.l, p.u, 1e-4)
         impl_list[pi] = impl
         for i in range(p.m):
             if not impl[i]:
@@ -179,7 +180,7 @@ def get_verts_batch(polys, rng: np.random.Generator = None,
             lo_v, lo_s = v[2 * k], s[2 * k]
             hi_v, hi_s = v[2 * k + 1], s[2 * k + 1]
             if lo_s in (1, 2) and hi_s in (1, 2) and \
-                    np.isclose(lo_v, -hi_v, atol=1e-4):
+                    _abs_close(lo_v, -hi_v, 1e-4):
                 impl_list[pi][i] = True
     # batched random-objective vertex LPs
     q_polys, q_dirs, q_owner = [], [], []
@@ -264,15 +265,19 @@ def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
     if empty[0]:
         raise RuntimeError("get_verts called on empty polyhedron")
 
-    idim = setops.intrinsic_dim(p)
-    if idim == 0:
-        return [np.asarray(example[0])], [], []
-
+    # exhaustive enumeration first: it needs only the cheap l==u equality
+    # mask, while intrinsic_dim pays up to 2m support LPs (implicit_bounds)
+    # — the exact cost get_verts_batch skips on its fast path too.  The
+    # 0-dim exemplar shortcut only matters on the sampling fallback.
     V = get_verts_exhaustive(p, tol=tol)
     if V is not None:
         if not V and example[0] is not None:
             V = [np.asarray(example[0])]
         return V, [], []
+
+    idim = setops.intrinsic_dim(p)
+    if idim == 0:
+        return [np.asarray(example[0])], [], []
 
     dirs = rng.standard_normal((num_samples, n))
     # include +-coordinate directions for coverage of axis-aligned faces

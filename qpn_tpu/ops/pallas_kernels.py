@@ -276,7 +276,9 @@ def feasibility_screen(polys, x0=None, steps: int = 120, lr: float = 0.05,
     witnessed = np.zeros(B, dtype=bool)
     witnesses = [None] * B
     for i, p in enumerate(polys):
-        if vs[i] <= margin and p.closure().contains(xs[i], tol=max(margin, 1e-4)):
+        # the host verification must use the caller's margin EXACTLY — a
+        # looser window would certify witnesses the exact LP would reject
+        if vs[i] <= margin and p.closure().contains(xs[i], tol=margin):
             witnessed[i] = True
             witnesses[i] = xs[i]
     return witnessed, witnesses

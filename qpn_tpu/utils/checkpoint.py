@@ -32,8 +32,13 @@ def _poly_to_entry(store: dict, prefix: str, p: Poly) -> dict:
 
 def _poly_from_entry(data, entry) -> Poly:
     pre = entry["prefix"]
+    # dedupe=False too: a loaded poly must reproduce the saved rows EXACTLY —
+    # re-running the 5-digit quantized dedup could drop rows the saved poly
+    # deliberately kept (intersect() builds with dedupe=False), making the
+    # resumed run operate on different geometry than was checkpointed
     return Poly(data[f"{pre}_A"], data[f"{pre}_l"], data[f"{pre}_u"],
-                data[f"{pre}_sl"], data[f"{pre}_su"], normalize=False)
+                data[f"{pre}_sl"], data[f"{pre}_su"], normalize=False,
+                dedupe=False)
 
 
 def save_state(path: str, x, Sol: Optional[Dict[int, PolyUnion]] = None,

@@ -241,3 +241,31 @@ def test_is_empty_forwards_tol():
              normalize=False)
     assert setops.is_empty(p, tol=1e-4)
     assert not setops.is_empty(p, tol=1e-2)
+
+
+def test_poly_key_row_order_invariant_and_memoized():
+    """Equal polys that differ only by row order must hash to the same
+    query-cache key, and the key must memoize on the instance (the _qkey
+    slot — previously missing from __slots__, so every hot-loop query
+    recomputed the digest)."""
+    from qpn_tpu.geometry.query_cache import poly_key
+    A = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    l = np.array([0.0, 1.0, 2.0])
+    u = np.array([5.0, 6.0, 7.0])
+    p1 = Poly(A, l, u, normalize=False, dedupe=False)
+    perm = [2, 0, 1]
+    p2 = Poly(A[perm], l[perm], u[perm], normalize=False, dedupe=False)
+    k1 = poly_key(p1)
+    assert poly_key(p2) == k1
+    assert p1._qkey == k1          # memo actually landed on the instance
+
+
+def test_implicit_bounds_no_relative_tolerance():
+    """A width-5 slab on bounds near 1e6 is NOT an implicit equality:
+    np.isclose's default rtol=1e-5 would classify it as one (threshold
+    grows to ~10 at that magnitude), silently shrinking the feasible set."""
+    from qpn_tpu.geometry import setops
+    p = Poly(np.array([[1.0, 0.0], [0.0, 1.0]]),
+             np.array([1e6, -1.0]), np.array([1e6 + 5.0, 1.0]))
+    impl, vals = setops.implicit_bounds(p, tol=1e-4)
+    assert not impl[0]             # the wide slab stays an inequality
