@@ -108,13 +108,20 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2,
     from .query_cache import CACHE, poly_key
     keys = [(b"exemplar", poly_key(p), round(tol, 9)) for p in polys]
     todo = []
+    first_for_key = {}
+    dupes = []          # (i, j): lane i copies the result of solved lane j
     for i, k in enumerate(keys):
         hit = CACHE.get(k)
         if hit is None and _verdict_only:
             hit = CACHE.get((b"empty",) + k[1:])
         if hit is not None:
             empty[i], examples[i] = hit
+        elif k in first_for_key:
+            # content-duplicate within this call (all-pairs callers feed
+            # many): solve once, copy the verdict
+            dupes.append((i, first_for_key[k]))
         else:
+            first_for_key[k] = len(todo)
             todo.append(i)
     if not todo:
         return empty, examples
@@ -278,6 +285,9 @@ def exemplar_batch(polys: Sequence[Poly], tol: float = 1e-2,
             CACHE.put((b"empty",) + keys[i][1:], (bool(empty[j]), None))
         else:
             CACHE.put(keys[i], (bool(empty[j]), examples[j]))
+    for i, j in dupes:
+        empty_all[i] = empty[j]
+        examples_all[i] = examples[j]
     return empty_all, examples_all
 
 
@@ -401,11 +411,16 @@ def support_batch(polys: Sequence[Poly], dirs: Sequence[np.ndarray]):
     keys = [(b"support", poly_key(p), dir_key(d))
             for p, d in zip(polys, dirs)]
     todo = []
+    first_for_key = {}
+    dupes = []          # (i, j): lane i copies the result of solved lane j
     for i, k in enumerate(keys):
         hit = CACHE.get(k)
         if hit is not None:
             vals[i], stat[i] = hit
+        elif k in first_for_key:
+            dupes.append((i, first_for_key[k]))
         else:
+            first_for_key[k] = len(todo)
             todo.append(i)
     if not todo:
         return vals, stat
@@ -469,6 +484,9 @@ def support_batch(polys: Sequence[Poly], dirs: Sequence[np.ndarray]):
         # reused for the rest of the process
         if stat[j] != batch_qp.MAX_ITER:
             CACHE.put(keys[i], (float(vals[j]), int(stat[j])))
+    for i, j in dupes:
+        vals_all[i] = vals[j]
+        stat_all[i] = stat[j]
     return vals_all, stat_all
 
 
