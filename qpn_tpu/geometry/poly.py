@@ -234,10 +234,12 @@ class Poly:
         if self.m <= 1:
             return self
         A, l, u, sl, su = self.A, self.l, self.u, self.strict_l, self.strict_u
+        norms = np.linalg.norm(A, axis=1)
         kept: list[int] = []          # representative row index per group
         groups: list[list[int]] = []
+        merged = False
         for i in range(self.m):
-            if np.linalg.norm(A[i]) <= tol:
+            if norms[i] <= tol:
                 # zero row: trivial unless bounds exclude 0 (keep only if
                 # binding).  Strictness matters: l ≤ 0 with strict_l means
                 # l < 0 is REQUIRED, so l ≈ 0 strict is infeasible (0 < 0);
@@ -247,16 +249,24 @@ class Poly:
                         or (su[i] and u[i] <= tol):
                     kept.append(i)
                     groups.append([i])
+                else:
+                    merged = True     # row dropped: output differs
                 continue
-            placed = False
-            for gi, rep in enumerate(kept):
-                if np.all(np.abs(A[rep] - A[i]) <= tol):
-                    groups[gi].append(i)
-                    placed = True
-                    break
-            if not placed:
+            # one vectorized closeness test against all current reps (the
+            # per-pair np.all calls dominated simplify's host time)
+            if kept:
+                close = np.all(np.abs(A[kept] - A[i]) <= tol, axis=1)
+                hit = int(np.argmax(close)) if close.any() else -1
+            else:
+                hit = -1
+            if hit >= 0:
+                groups[hit].append(i)
+                merged = True
+            else:
                 kept.append(i)
                 groups.append([i])
+        if not merged:
+            return self               # nothing merged or dropped: identity
         newA, newl, newu, newsl, newsu, rp = [], [], [], [], [], []
         nll, nlu = [], []
         for rep, grp in zip(kept, groups):
