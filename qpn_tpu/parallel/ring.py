@@ -82,3 +82,58 @@ def _ppermute2(x, axes, mesh):
     perm_major = [(i, (i + 1) % n_major) for i in range(n_major)]
     x_carry = jax.lax.ppermute(x_rot, major, perm=perm_major)
     return jnp.where(idx_minor == 0, x_carry, x_rot)
+
+
+@functools.lru_cache(maxsize=64)
+def _ring_prune_fn(mesh: Mesh, B, k):
+    """Ring-rotated duplicate-piece prune: the memory-bounded counterpart of
+    sharded.sharded_containment_prune (same keep-mask, bit for bit).
+
+    Instead of all_gathering the full (B, k) signature set to every device
+    (O(total) memory), the reference shard rotates around the ring; after
+    n_dev steps every (candidate, reference) pair has met.  Memory stays
+    O(shard).  Dominance is the same strict lexicographic (quantized resid,
+    index) total order the all_gather path uses."""
+    axes = tuple(mesh.axis_names)
+    if len(axes) > 2:
+        raise ValueError(
+            f"ring prune supports 1-D and 2-D meshes; got axes {axes}")
+    n_dev = int(np.prod(list(mesh.shape.values())))
+
+    def local(act_s, rq_s, idx_s):
+        def step(carry, _):
+            ref_act, ref_rq, ref_idx, dominated = carry
+            same = jnp.all(act_s[:, None, :] == ref_act[None, :, :], axis=-1)
+            better = (ref_rq[None, :] < rq_s[:, None]) | (
+                (ref_rq[None, :] == rq_s[:, None])
+                & (ref_idx[None, :] < idx_s[:, None]))
+            dominated = dominated | jnp.any(same & better, axis=1)
+            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            if len(axes) == 1:
+                rot = lambda x: jax.lax.ppermute(x, axes[0], perm=perm)
+            else:
+                rot = lambda x: _ppermute2(x, axes, mesh)
+            return (rot(ref_act), rot(ref_rq), rot(ref_idx), dominated), None
+
+        dom0 = idx_s != idx_s      # device-varying all-False
+        (ra, rr, ri, dominated), _ = jax.lax.scan(
+            step, (act_s, rq_s, idx_s, dom0), None, length=n_dev)
+        return ~dominated
+
+    spec = P(tuple(mesh.axis_names))
+    return jax.jit(jax.shard_map(local, mesh=mesh,
+                                 in_specs=(spec, spec, spec),
+                                 out_specs=spec))
+
+
+def ring_containment_prune(mesh: Mesh, act, resid):
+    """Keep-mask over duplicate piece groups with O(shard) device memory.
+    Semantics identical to sharded.sharded_containment_prune."""
+    act = jnp.asarray(act)
+    B = act.shape[0]
+    rq = jnp.round(jnp.asarray(resid) * 1e12)
+    idx = jnp.arange(B)
+    fn = _ring_prune_fn(mesh, B, act.shape[1])
+    sh = NamedSharding(mesh, P(tuple(mesh.axis_names)))
+    return fn(jax.device_put(act, sh), jax.device_put(rq, sh),
+              jax.device_put(idx, sh))

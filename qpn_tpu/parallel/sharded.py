@@ -53,6 +53,11 @@ def sharded_avi_solve(mesh: Mesh, M, q, l, u, z0, mask, tol=1e-8,
 _PRUNE_JIT_CACHE: dict = {}
 
 
+#: above this many pieces the all_gather prune's O(total) per-device
+#: replication is routed through the O(shard) ring rotation instead
+RING_PRUNE_THRESHOLD = 4096
+
+
 def sharded_containment_prune(mesh: Mesh, act, resid):
     """Deterministic piece-dedup keep-mask with collectives.
 
@@ -63,8 +68,14 @@ def sharded_containment_prune(mesh: Mesh, act, resid):
     (resid_j, j) < (resid_i, i) lexicographically — the order-based tie-break
     that keeps exactly one of each duplicate group, independent of sharding
     (the property the reference's threading bug violated).  Each device holds
-    a shard of pieces and all_gathers the rest."""
+    a shard of pieces and all_gathers the rest; beyond
+    ``RING_PRUNE_THRESHOLD`` pieces the ring-rotated prune takes over with
+    the identical keep-mask at O(shard) device memory (ring-attention
+    analogue, SURVEY §5 long-context)."""
     B = act.shape[0]
+    if B > RING_PRUNE_THRESHOLD:
+        from .ring import ring_containment_prune
+        return ring_containment_prune(mesh, act, resid)
     sh = scenario_sharding(mesh)
 
     def local(act_s, resid_s, idx_s):

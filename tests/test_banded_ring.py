@@ -116,3 +116,26 @@ def test_ring_fn_cached_and_multi_axis_rejected():
     mesh3 = Mesh(devs, ("a", "b", "c"))
     with pytest.raises(ValueError, match="1-D and 2-D"):
         ring.ring_duplicate_mask(mesh3, cand, ref)
+
+
+def test_ring_prune_matches_all_gather_prune():
+    """The ring-rotated prune must produce the SAME keep-mask as the
+    all_gather prune (it replaces it above RING_PRUNE_THRESHOLD), including
+    the strict lexicographic (quantized resid, index) tie-break."""
+    from qpn_tpu.parallel.mesh import make_mesh
+    from qpn_tpu.parallel.ring import ring_containment_prune
+    from qpn_tpu.parallel.sharded import sharded_containment_prune
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(3)
+    B, k = 64, 5
+    act = rng.integers(0, 3, size=(B, k)).astype(np.int32)
+    act[1] = act[0]                    # exact duplicate group
+    act[10] = act[0]
+    resid = rng.random(B)
+    resid[1] = resid[0]                # tie inside the group -> index breaks
+    keep_ag = np.asarray(sharded_containment_prune(mesh, act, resid))
+    keep_ring = np.asarray(ring_containment_prune(mesh, act, resid))
+    np.testing.assert_array_equal(keep_ring, keep_ag)
+    # exactly one survivor per duplicate group
+    group = [0, 1, 10]
+    assert keep_ring[group].sum() == 1
