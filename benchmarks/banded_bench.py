@@ -11,10 +11,14 @@ KKT matrices.  This bench times the production ADMM kernel
 Run:  python benchmarks/banded_bench.py [--cpu]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as a plain script from anywhere: the package lives at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -8,10 +8,14 @@ run it on CPU or TPU:
     python benchmarks/framework_bench.py [--cpu]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as a plain script from anywhere: the package lives at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 CONFIGS = [

@@ -7,10 +7,14 @@ the host f64 terminal refactorization.
     python benchmarks/lemke_kernel_bench.py [--cpu] [--sizes 256]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable as a plain script from anywhere: the package lives at the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

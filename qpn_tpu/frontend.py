@@ -2,13 +2,13 @@
 
 The reference extracts ``A`` / ``Q, q, k`` from user expressions with
 Symbolics.jl jacobians (programs.jl:147-201).  Here the same API shape is kept
-(``variables``, ``add_constraint``, ``add_qp``) but the differentiation engine
-is JAX itself: expressions are tiny operator-overloading trees over ``Var``
-leaves, evaluated as traced jnp scalars, and the (sparse-in-spirit, dense
-in layout) data is read off with ``jax.jacobian`` / ``jax.hessian`` at zero.
-Non-linear constraints and non-quadratic costs are rejected by comparing
-against the extracted affine/quadratic model at random points, mirroring the
-reference's errors (programs.jl:154, 179).
+(``variables``, ``add_constraint``, ``add_qp``) but the extraction engine is a
+structural monomial recursion over tiny operator-overloading trees of ``Var``
+leaves (``Expr.quad``): exact (k, q, Q) coefficients in one O(tree) pass, no
+tracing or probing (an earlier version used ``jax.jacobian``/``jax.hessian``
+at zero — correct but it paid a JAX trace per node, dominating model setup).
+Non-linear constraints and non-quadratic costs are rejected structurally,
+mirroring the reference's errors (programs.jl:154, 179).
 
 Expressions compose with numpy object arrays, so model code reads like the
 Julia examples::
@@ -21,19 +21,32 @@ Julia examples::
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .network import QPNet, Quadratic
+
+
+class NonQuadraticError(ValueError):
+    """Raised during structural extraction when a product exceeds degree 2."""
 
 
 class Expr:
     """Scalar expression node."""
 
     def eval(self, x, index):  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def quad(self):  # pragma: no cover - abstract
+        """Exact structural extraction: (k, q, Q2) with ``q`` a {uid: coeff}
+        dict and ``Q2`` a {(uid_i<=uid_j): coeff} dict of monomial
+        coefficients — the expression equals
+        ``k + Σ q[i]·x_i + Σ Q2[i,j]·x_i·x_j``.  Pure numpy/Python over the
+        tiny operator tree: replaces the per-call ``jax.hessian``/
+        ``jax.jacobian`` traces (the reference's Symbolics.jl jacobians,
+        programs.jl:149, 173-174) with an O(tree) recursion, and is exact
+        rather than probe-at-zero."""
         raise NotImplementedError
 
     # arithmetic -----------------------------------------------------------
@@ -82,6 +95,9 @@ class Const(Expr):
     def eval(self, x, index):
         return self.v
 
+    def quad(self):
+        return self.v, {}, {}
+
 
 class Var(Expr):
     _count = 0
@@ -94,6 +110,9 @@ class Var(Expr):
     def eval(self, x, index):
         return x[index[self.uid]]
 
+    def quad(self):
+        return 0.0, {self.uid: 1.0}, {}
+
     def __repr__(self):
         return self.name
 
@@ -105,6 +124,17 @@ class Add(Expr):
     def eval(self, x, index):
         return self.a.eval(x, index) + self.b.eval(x, index)
 
+    def quad(self):
+        ka, qa, Qa = self.a.quad()
+        kb, qb, Qb = self.b.quad()
+        q = dict(qa)
+        for i, c in qb.items():
+            q[i] = q.get(i, 0.0) + c
+        Q = dict(Qa)
+        for ij, c in Qb.items():
+            Q[ij] = Q.get(ij, 0.0) + c
+        return ka + kb, q, Q
+
 
 class Mul(Expr):
     def __init__(self, a, b):
@@ -113,6 +143,32 @@ class Mul(Expr):
     def eval(self, x, index):
         return self.a.eval(x, index) * self.b.eval(x, index)
 
+    def quad(self):
+        ka, qa, Qa = self.a.quad()
+        kb, qb, Qb = self.b.quad()
+        # constant factors scale the other side (degree 0 * degree <=2)
+        if not qa and not Qa:
+            return ka * kb, {i: ka * c for i, c in qb.items()}, \
+                {ij: ka * c for ij, c in Qb.items()}
+        if not qb and not Qb:
+            return ka * kb, {i: kb * c for i, c in qa.items()}, \
+                {ij: kb * c for ij, c in Qa.items()}
+        if Qa or Qb:
+            raise NonQuadraticError(
+                "product of a quadratic term with a non-constant term "
+                "exceeds degree 2")
+        # affine * affine
+        k = ka * kb
+        q = {i: kb * c for i, c in qa.items()}
+        for i, c in qb.items():
+            q[i] = q.get(i, 0.0) + ka * c
+        Q = {}
+        for i, ca in qa.items():
+            for j, cb in qb.items():
+                ij = (i, j) if i <= j else (j, i)
+                Q[ij] = Q.get(ij, 0.0) + ca * cb
+        return k, q, Q
+
 
 class Scale(Expr):
     def __init__(self, a, c):
@@ -120,6 +176,11 @@ class Scale(Expr):
 
     def eval(self, x, index):
         return self.c * self.a.eval(x, index)
+
+    def quad(self):
+        k, q, Q = self.a.quad()
+        return self.c * k, {i: self.c * c for i, c in q.items()}, \
+            {ij: self.c * c for ij, c in Q.items()}
 
 
 def _lift(v):
@@ -171,14 +232,6 @@ class QPNetBuilder:
     def num_vars(self):
         return len(self.vars)
 
-    def _eval_fn(self, exprs: Sequence[Expr]):
-        index = self.index
-
-        def g(x):
-            return jnp.stack([_lift(e).eval(x, index) for e in exprs])
-
-        return g
-
     def add_constraint(self, cons, lb, ub, tol: float = 1e-8) -> int:
         """programs.jl:147-170: extract sparse A and constant offset; the
         bounds are shifted by the constant term."""
@@ -190,38 +243,46 @@ class QPNetBuilder:
             raise ValueError(
                 f"add_constraint: {len(cons)} expressions but "
                 f"{len(lb)} lower / {len(ub)} upper bounds")
-        g = self._eval_fn(cons)
-        zero = jnp.zeros(self.num_vars)
-        A = np.array(jax.jacobian(g)(zero))
-        vals = np.asarray(g(zero))
-        # linearity check at a random point (replaces the Symbolics error path)
-        rng = np.random.default_rng(12345)
-        xt = rng.standard_normal(self.num_vars)
-        if not np.allclose(np.asarray(g(jnp.asarray(xt))), A @ xt + vals,
-                           atol=1e-6, rtol=1e-6):
-            raise ValueError("Detected non-linear constraint!")
+        m, n = len(cons), self.num_vars
+        A = np.zeros((m, n))
+        vals = np.zeros(m)
+        for r, e in enumerate(cons):
+            try:
+                k, q, Q2 = _lift(e).quad()
+            except NonQuadraticError:
+                raise ValueError("Detected non-linear constraint!")
+            if any(abs(c) >= tol for c in Q2.values()):
+                raise ValueError("Detected non-linear constraint!")
+            vals[r] = k
+            for uid, c in q.items():
+                A[r, self.index[uid]] = c
         A[np.abs(A) < tol] = 0.0
         return self.net.add_constraint(A, lb - vals, ub - vals)
 
     def add_qp(self, cost: Expr, con_inds, *private_vars, tol: float = 1e-8) -> int:
-        """programs.jl:172-201: Q = hessian, q = grad at 0, k = cost(0)."""
-        index = self.index
-
-        def f(x):
-            return _lift(cost).eval(x, index)
-
-        zero = jnp.zeros(self.num_vars)
-        Q = np.array(jax.hessian(f)(zero))
-        q = np.asarray(jax.grad(f)(zero))
-        k = float(f(zero))
-        rng = np.random.default_rng(54321)
-        xt = rng.standard_normal(self.num_vars)
-        model = 0.5 * xt @ Q @ xt + q @ xt + k
-        if not np.isclose(float(f(jnp.asarray(xt))), model, atol=1e-6, rtol=1e-6):
+        """programs.jl:172-201: Q = hessian, q = grad at 0, k = cost(0) —
+        read off the structural monomial extraction (exact)."""
+        try:
+            k, qd, Q2 = _lift(cost).quad()
+        except NonQuadraticError:
             raise ValueError("Detected non-quadratic cost!")
+        n = self.num_vars
+        Q = np.zeros((n, n))
+        q = np.zeros(n)
+        for uid, c in qd.items():
+            q[self.index[uid]] = c
+        # monomial c·x_i·x_j → symmetric ½ x'Qx entries
+        for (ui, uj), c in Q2.items():
+            i, j = self.index[ui], self.index[uj]
+            if i == j:
+                Q[i, i] += 2.0 * c
+            else:
+                Q[i, j] += c
+                Q[j, i] += c
         Q[np.abs(Q) < tol] = 0.0
         var_inds = [self.index[v.uid] for v in _flatten_vars(private_vars)]
-        return self.net.add_qp(Quadratic(Q, q, k), list(con_inds), var_inds)
+        return self.net.add_qp(Quadratic(Q, q, float(k)), list(con_inds),
+                               var_inds)
 
     # passthroughs ---------------------------------------------------------
     def add_edges(self, edge_list):

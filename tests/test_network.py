@@ -114,3 +114,27 @@ def test_frontend_power_and_division_validation():
         x ** 3
     with pytest.raises(ValueError, match="scalars"):
         x / y
+
+
+def test_frontend_structural_rejection():
+    """Structural monomial extraction (Expr.quad) must reject degree>2
+    products exactly like the reference's Symbolics error paths
+    (programs.jl:154, 179), and must treat exact cancellations of the
+    quadratic part as linear."""
+    import pytest
+    x = variable("x")
+    y = variable("y")
+    b = QPNetBuilder(x, y)
+    with pytest.raises(ValueError, match="non-linear constraint"):
+        b.add_constraint([x * y], [0.0], [1.0])
+    with pytest.raises(ValueError, match="non-quadratic cost"):
+        b.add_qp((x * x) * y, [], x)
+    with pytest.raises(ValueError, match="non-quadratic cost"):
+        b.add_qp((x * x) * (y * y), [], x)
+    # x*y - x*y cancels structurally: a valid (zero-Q) linear constraint
+    cid = b.add_constraint([x * y - x * y + x], [0.0], [1.0])
+    assert b.net.constraints[cid].poly.contains(np.array([0.5, 99.0]))
+    # mixed bilinear cost: Q has only off-diagonal entries
+    pid = b.add_qp(x * y, [], x)
+    assert np.allclose(b.net.qps[pid].f.Q, [[0.0, 1.0], [1.0, 0.0]])
+    assert np.allclose(b.net.qps[pid].f.q, 0.0)
