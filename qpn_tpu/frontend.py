@@ -146,6 +146,13 @@ class Mul(Expr):
     def quad(self):
         ka, qa, Qa = self.a.quad()
         kb, qb, Qb = self.b.quad()
+        # Degree decisions must be value-aware: Add/Scale keep zero-valued
+        # entries, so e.g. (x*y - x*y + x) * x is genuinely quadratic even
+        # though Qa is non-empty as a dict.  Prune exact zeros first.
+        qa = {i: c for i, c in qa.items() if c != 0.0}
+        Qa = {ij: c for ij, c in Qa.items() if c != 0.0}
+        qb = {i: c for i, c in qb.items() if c != 0.0}
+        Qb = {ij: c for ij, c in Qb.items() if c != 0.0}
         # constant factors scale the other side (degree 0 * degree <=2)
         if not qa and not Qa:
             return ka * kb, {i: ka * c for i, c in qb.items()}, \
@@ -250,7 +257,7 @@ class QPNetBuilder:
             try:
                 k, q, Q2 = _lift(e).quad()
             except NonQuadraticError:
-                raise ValueError("Detected non-linear constraint!")
+                raise ValueError("Detected non-linear constraint!") from None
             if any(abs(c) >= tol for c in Q2.values()):
                 raise ValueError("Detected non-linear constraint!")
             vals[r] = k
@@ -265,7 +272,7 @@ class QPNetBuilder:
         try:
             k, qd, Q2 = _lift(cost).quad()
         except NonQuadraticError:
-            raise ValueError("Detected non-quadratic cost!")
+            raise ValueError("Detected non-quadratic cost!") from None
         n = self.num_vars
         Q = np.zeros((n, n))
         q = np.zeros(n)

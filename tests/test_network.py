@@ -138,3 +138,10 @@ def test_frontend_structural_rejection():
     pid = b.add_qp(x * y, [], x)
     assert np.allclose(b.net.qps[pid].f.Q, [[0.0, 1.0], [1.0, 0.0]])
     assert np.allclose(b.net.qps[pid].f.q, 0.0)
+    # a factor whose quadratic part cancels EXACTLY is affine: the degree
+    # guard in Mul.quad must be value-aware, not dict-truthiness
+    # (advisor r2 finding: (x*y - x*y + x) * x == x**2 used to raise)
+    pid2 = b.add_qp((x * y - x * y + x) * x, [], x)
+    assert np.allclose(b.net.qps[pid2].f.Q, [[2.0, 0.0], [0.0, 0.0]])
+    pid3 = b.add_qp(x * x + 0.0 * (x * x) * y, [], x)
+    assert np.allclose(b.net.qps[pid3].f.Q, [[2.0, 0.0], [0.0, 0.0]])
