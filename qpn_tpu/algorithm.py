@@ -337,10 +337,21 @@ def _audit_convexity(qp, pid, x, dec_inds, base_constraints,
 
 def _finish_process_qp(qpn: QPNet, pid: int, x, prep, verifies,
                        exploration_vertices: int = 0,
-                       rng: Optional[np.random.Generator] = None):
+                       rng: Optional[np.random.Generator] = None,
+                       request=frozenset(), make_requests: bool = False):
     """Phase 2 of process_qp: consume verification results, generate and
-    combine the per-combo solution graphs (qp_processing.jl:188-224)."""
+    combine the per-combo solution graphs (qp_processing.jl:188-224).
+
+    ``request`` (directions the PARENT level wants this node's solution map
+    to extend toward) is threaded into the piece enumeration, where
+    comp_indices grants the matching boundary labels (avi_solutions.jl:
+    522-541).  With ``make_requests`` this node also IDENTIFIES new requests
+    for its own children: active verification duals on child-graph rows map
+    through the projection parents (identify_request, avi.jl:479-506) —
+    the live version of the flow the reference keeps dormant behind
+    requests.jl:22."""
     qp = prep.qp
+    identified_request = set()
     gen_solution_graphs = (pid not in qpn.network_depth_map[1]) \
         or qpn.options.gen_solution_map
     if prep.child_inds:
@@ -361,6 +372,19 @@ def _finish_process_qp(qpn: QPNet, pid: int, x, prep, verifies,
                 if ret.e and "infeasible" in str(ret.e) \
                         and _combo_region_vacuous(prep, appended, x):
                     METRICS.bump("vacuous_combos")
+                    continue
+                # Request-extension combos: with make_requests, children's
+                # maps are deliberately extended toward pieces that do NOT
+                # contain the current point (requests.jl:6-17 step 4: the
+                # map "adheres to the parent request when possible").  Such
+                # pieces enrich the returned solution map; they are not new
+                # optimality obligations — treating them as failures would
+                # oscillate the parent between branches forever.
+                if make_requests and ret.e and "infeasible" in str(ret.e) \
+                        and not all(
+                            cp.contains(x, tol=1e-3)
+                            for cp in appended[len(prep.base_constraints):]):
+                    METRICS.bump("request_extension_combos_skipped")
                     continue
                 failing.append({j: ji
                                 for j, ji in zip(prep.child_inds, combo)})
@@ -384,12 +408,16 @@ def _finish_process_qp(qpn: QPNet, pid: int, x, prep, verifies,
                                         verifies):
             if not ret.solution:
                 continue      # vacuous combos contribute no graph
+            if make_requests and ret.lam is not None:
+                identified_request |= _identify_from_duals(
+                    prep.base_constraints, appended, ret.lam)
             if gen_solution_graphs:
                 children_polys = appended[len(prep.base_constraints):]
                 gen = process_solution_graph(
                     qp, appended, prep.dec_inds, x, ret.lam,
                     exploration_vertices=exploration_vertices, rng=rng,
-                    frontier_store=getattr(qpn, "frontier_store", None))
+                    frontier_store=getattr(qpn, "frontier_store", None),
+                    request=request)
                 graph = setops.remove_subsets(PolyUnion(gen.collect()))
                 results.append((children_polys, graph))
         if gen_solution_graphs:
@@ -416,7 +444,8 @@ def _finish_process_qp(qpn: QPNet, pid: int, x, prep, verifies,
             gen = process_solution_graph(
                 qp, prep.base_constraints, prep.dec_inds, x, ret.lam,
                 exploration_vertices=exploration_vertices, rng=rng,
-                frontier_store=getattr(qpn, "frontier_store", None))
+                frontier_store=getattr(qpn, "frontier_store", None),
+                request=request)
             S_out = PolyUnion(gen.collect())
             if len(S_out) == 0:
                 raise RuntimeError(
@@ -424,7 +453,29 @@ def _finish_process_qp(qpn: QPNet, pid: int, x, prep, verifies,
         else:
             S_out = None
     return SimpleNamespace(solution=True, S=S_out, failed=False, e=None,
-                           subpiece_assignments={})
+                           subpiece_assignments={},
+                           identified_request=identified_request)
+
+
+def _identify_from_duals(base_constraints, appended, lam):
+    """Map active verification duals on the child-solution-graph rows into
+    request directions for the child's enumeration (avi.jl:479-506).  A
+    propagation LP failure skips that row's request rather than killing an
+    otherwise-converged solve (the reference raises, but only from a flow it
+    never runs)."""
+    from .requests import identify_request
+    lam = np.asarray(lam)
+    identified = set()
+    off = sum(c.m for c in base_constraints)
+    for cp in appended[len(base_constraints):]:
+        try:
+            identified |= identify_request(cp, lam[off:off + cp.m])
+        except RuntimeError:
+            METRICS.bump("request_propagate_failed")
+        off += cp.m
+    if identified:
+        METRICS.bump("requests_identified", len(identified))
+    return identified
 
 
 def _combo_region_vacuous(prep, appended_constraints, x) -> bool:
@@ -442,16 +493,19 @@ def _combo_region_vacuous(prep, appended_constraints, x) -> bool:
 
 def process_qp(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion],
                exploration_vertices: int = 0,
-               rng: Optional[np.random.Generator] = None):
+               rng: Optional[np.random.Generator] = None,
+               request=frozenset(), make_requests: bool = False):
     prep = _prepare_qp_tasks(qpn, pid, x, S)
     verifies = verify_solutions_batch(prep.tasks, x)
     return _finish_process_qp(qpn, pid, x, prep, verifies,
-                              exploration_vertices, rng)
+                              exploration_vertices, rng,
+                              request=request, make_requests=make_requests)
 
 
 def process_qps_level(qpn: QPNet, players, x, S: Dict[int, PolyUnion],
                       exploration_vertices: int = 0,
-                      rng: Optional[np.random.Generator] = None):
+                      rng: Optional[np.random.Generator] = None,
+                      request=frozenset(), make_requests: bool = False):
     """Level-wide node-parallel verification (SURVEY §2.3 row 1).
 
     The reference maps process_qp over players serially (algorithm.jl:44-52);
@@ -467,7 +521,9 @@ def process_qps_level(qpn: QPNet, players, x, S: Dict[int, PolyUnion],
         v = flat_verifies[k:k + len(prep.tasks)]
         k += len(prep.tasks)
         out.append(_finish_process_qp(qpn, pid, x, prep, v,
-                                      exploration_vertices, rng))
+                                      exploration_vertices, rng,
+                                      request=request,
+                                      make_requests=make_requests))
     return out
 
 
@@ -831,6 +887,8 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
     if proj_vectors is None:
         proj_vectors = []
     x = np.asarray(x_init, dtype=np.float64).copy()
+    request = frozenset(request)
+    make_requests = qpn.options.make_requests
     try:
         if level == 1 and qpn.options.debug_visualize:
             qpn.visualization_function(x)
@@ -838,6 +896,7 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
             for _ in range(qpn.options.num_projections):
                 proj_vectors.append(rng.standard_normal(len(x)))
         pert_budget = 5       # perturb-to-continue attempts (see below)
+        req_budget = 2        # request-negotiation rounds per level
         for iters in range(1, qpn.options.max_iters + 1):
             proj_vals = np.array([x @ v for v in proj_vectors])
             logger.debug("Iteration %d at level %d. %s", iters, level,
@@ -899,7 +958,7 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
             results = process_qps_level(
                 qpn, players, x, S,
                 exploration_vertices=qpn.options.exploration_vertices,
-                rng=rng)
+                rng=rng, request=request, make_requests=make_requests)
 
             equilibrium = True
             subpiece_ids = {i: 0 for i in child_level_players}
@@ -1007,11 +1066,35 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
                     qpn.visualization_function(x)
                 continue
             else:
+                identified = set().union(
+                    *[getattr(r, "identified_request", set())
+                      for r in results]) if make_requests else set()
+                new_reqs = identified - set(request)
+                if make_requests and new_reqs and req_budget > 0 \
+                        and level < qpn.num_levels():
+                    # Live request negotiation (the loop the reference
+                    # sketches in requests.jl:6-17 but early-returns out of
+                    # at requests.jl:22): the level is content, but its duals
+                    # on child-graph rows identify directions the children's
+                    # solution maps should extend toward.  Re-derive the
+                    # lower levels with the enlarged request — comp_indices
+                    # grants the matching labels there — and re-verify.
+                    req_budget -= 1
+                    request = frozenset(set(request) | new_reqs)
+                    METRICS.bump("request_rounds")
+                    # same x re-enters the loop (and the sub-level
+                    # recursions) deliberately: a request change is new
+                    # state, not a cycle — reset this level's and every
+                    # deeper level's fingerprints
+                    for k in list(qpn.iterate_cache):
+                        if k >= level:
+                            qpn.iterate_cache[k] = []
+                    continue
                 if level == 1:
                     for k in qpn.iterate_cache:
                         qpn.iterate_cache[k] = []
                 return SimpleNamespace(solved=True, x_opt=x, Sol=S,
-                                       identified_request=set(),
+                                       identified_request=identified,
                                        x_alts=[], x_fail=None)
         raise RuntimeError("Can't find solution")
     except (RuntimeError, ValueError, AssertionError) as err:

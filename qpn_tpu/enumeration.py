@@ -333,7 +333,7 @@ class LocalGAVISolutions:
                  decision_inds, param_inds, request=frozenset(),
                  max_vertices: int = 2 ** 62,
                  rng: Optional[np.random.Generator] = None,
-                 frontier_store=None):
+                 frontier_store=None, request_is_permuted: bool = False):
         self.gavi = gavi
         self.z = np.asarray(z, dtype=np.float64)
         self.w = np.asarray(w, dtype=np.float64)
@@ -344,8 +344,20 @@ class LocalGAVISolutions:
         self.max_vertices = max_vertices
         self.rng = rng or np.random.default_rng(0)
         n, m = len(self.z), len(self.w)
-        self.permuted_request = unpermute(request, n + m, self.decision_inds,
-                                          self.param_inds)
+        if request_is_permuted:
+            # directions already in this GAVI's [z | w] layout — the live
+            # request flow's propagate_request emits parent-poly rows, which
+            # ARE (z, w) coordinates; running them through unpermute (which
+            # assumes x layout, avi_solutions.jl:58-77) would scramble z/λ/w
+            # columns.  The reference's dormant chain carries that latent
+            # misalignment; repaired here behind an explicit flag.
+            self.permuted_request = frozenset(
+                req for req in request
+                if np.asarray(req.a).shape[0] == n + m)
+        else:
+            self.permuted_request = unpermute(request, n + m,
+                                              self.decision_inds,
+                                              self.param_inds)
         J = comp_indices(gavi, self.z, self.w, self.permuted_request)
         self.unexplored_Ks: Set[Recipe] = all_Ks(J)
         self.explored_Ks: Set[Recipe] = set()
@@ -576,7 +588,8 @@ def unpermute(request, dim: int, var_inds, param_inds):
 def process_solution_graph(qp, constraints: Sequence[Poly], dec_inds, x, lam,
                            exploration_vertices: int = 0,
                            rng: Optional[np.random.Generator] = None,
-                           frontier_store=None) -> LocalGAVISolutions:
+                           frontier_store=None,
+                           request=frozenset()) -> LocalGAVISolutions:
     """Build the single-node parametric KKT GAVI in z=[x_dec; λ], w=x_param::
 
         Q_dd x_d + Q_dp w + q_d − A_d' λ ⟂ −∞ ≤ x_d ≤ ∞
@@ -612,8 +625,10 @@ def process_solution_graph(qp, constraints: Sequence[Poly], dec_inds, x, lam,
         B=AA[:, param_inds],
         l2=l2, u2=u2)
     return LocalGAVISolutions(gavi, z, w, 0, 0, dec_inds, param_inds,
-                              frozenset(), max_vertices=exploration_vertices,
-                              rng=rng, frontier_store=frontier_store)
+                              frozenset(request),
+                              max_vertices=exploration_vertices,
+                              rng=rng, frontier_store=frontier_store,
+                              request_is_permuted=True)
 
 
 def get_single_solution(gavi: GAVI, z, w, level, subpiece_index,

@@ -67,6 +67,56 @@ class TestRequestsChangePieceDiscovery:
         assert J0 != J1                                  # and did grow
 
 
+class TestRequestsThroughSolve:
+    """options.make_requests wired through solve_base (VERDICT r2 item 5):
+    requests are identified from the parent's verification duals on
+    child-graph rows, negotiated in a re-solve round, and the child's
+    DISCOVERED SOLUTION GRAPH CHANGES — while the equilibrium point and the
+    no-request trajectory stay identical."""
+
+    @staticmethod
+    def _build(make_requests):
+        from qpn_tpu.frontend import QPNetBuilder, variable
+        w = variable("w")
+        x = variable("x")
+        b = QPNetBuilder(w, x)
+        # follower: min ½(x−w)²  s.t. x ≥ 0  — solution map has two pieces
+        # (x=w for w≥0; x=0 for w≤0) but local enumeration at the leader's
+        # optimum (w≈1.82) can only see the first
+        cid = b.add_constraint([x], [0.0], [np.inf])
+        fid = b.add_qp((x - w) ** 2, [cid], x)
+        # leader pulls x toward 2, so its duals on the child-graph equality
+        # row x−w=0 are active — the request source
+        lid = b.add_qp((x - 2.0) ** 2 + 0.1 * w ** 2, [], w)
+        b.add_edges([(lid, fid)])
+        b.set_options(gen_solution_map=True, make_requests=make_requests,
+                      exploration_vertices=0)
+        return b.net, fid
+
+    def test_make_requests_extends_discovered_graph(self):
+        from qpn_tpu.algorithm import solve
+        from qpn_tpu.utils.metrics import METRICS
+
+        net0, fid = self._build(False)
+        ret0 = solve(net0, np.array([1.0, 1.0]))
+        assert ret0.solved
+        base_pieces = len(ret0.Sol[fid])
+
+        net1, fid = self._build(True)
+        ret1 = solve(net1, np.array([1.0, 1.0]))
+        assert ret1.solved
+        # the equilibrium itself must not move...
+        assert np.allclose(ret0.x_opt, ret1.x_opt, atol=1e-6)
+        # ...but the negotiated graph gains the far-side piece (x=0, w≤0)
+        assert len(ret1.Sol[fid]) > base_pieces
+        assert METRICS.counters.get("request_rounds", 0) >= 1
+        # the extension piece contains (w,x)=(−1,0): only reachable via the
+        # request-granted boundary label
+        pt = np.array([-1.0, 0.0])
+        assert any(p.contains(pt, tol=1e-6) for p in ret1.Sol[fid])
+        assert not any(p.contains(pt, tol=1e-6) for p in ret0.Sol[fid])
+
+
 class TestIdentifyPropagate:
     def test_identify_request_through_parent(self):
         """Active duals on child-graph rows map through ProjectedPoly
