@@ -124,6 +124,23 @@ class NumericConfig:
     # the unique ε*, so the native pivot engine is trajectory-safe here;
     # its vertex witnesses are quarantined in a separate cache namespace.
     empty_engine: str = os.environ.get("QPN_EMPTY_ENGINE", "host")
+    # Auto-route block-tridiagonal trajectory KKTs through the cyclic-
+    # reduction x-update (ops/banded.py): production QP batches whose
+    # P / A'A patterns are block-banded with >= banded_min_blocks() blocks
+    # factor in O(T k^3 log T) instead of O((Tk)^3).  Detection runs only
+    # above ``banded_auto_min_n`` variables — below it the dense Cholesky
+    # wins regardless (measured crossovers: T=8 blocks on TPU, ~T=64 on
+    # CPU; BASELINE.md banded table).
+    banded_auto: bool = os.environ.get("QPN_BANDED_AUTO", "1") != "0"
+    banded_auto_min_n: int = 48
+    # per-backend block-count crossovers (dense factorization wins below)
+    banded_min_blocks_tpu: int = 8
+    banded_min_blocks_cpu: int = 64
+    # Above this many pieces, remove_subsets runs a signature-duplicate
+    # prune first (mesh/ring-sharded when >1 device) and replaces the
+    # O(N²) Python pair materialization with a blockwise exemplar screen
+    # (sets.jl:889-905 hazard regime).
+    prune_dedup_threshold: int = 512
 
 
 import contextlib  # noqa: E402
@@ -161,6 +178,14 @@ def effective_backend() -> str:
     if dev is not None and getattr(dev, "platform", None):
         backend = dev.platform
     return backend
+
+
+def banded_min_blocks() -> int:
+    """Minimum block count for the banded route to beat dense factorization
+    (measured crossovers, BASELINE.md banded table: wins from T=8 on TPU,
+    ~T=64 on CPU)."""
+    return (CONFIG.banded_min_blocks_tpu if effective_backend() == "tpu"
+            else CONFIG.banded_min_blocks_cpu)
 
 
 def pallas_screen_enabled() -> bool:

@@ -108,6 +108,46 @@ def cr_solve(factor, b):
     return (B_inv @ b[..., None])[..., 0]
 
 
+def detect_banded_k(P, A, min_blocks: int = 8, max_k: int = 64) -> int:
+    """Auto-detect block-tridiagonal structure of the ADMM KKT matrix
+    ``P + σI + A'RA`` from the sparsity patterns of P and A.
+
+    Returns the block size ``k`` (dividing n) with the MOST blocks
+    ``Tb = n/k ≥ min_blocks`` such that both P and A'A are block-tridiagonal
+    in the given variable ordering — the trajectory-horizon class the
+    reference factors as banded dynamics (deprecated/robust_avoid.jl:72-83).
+    Returns 0 when no qualifying block size exists (dense route).
+
+    Accepts single (n,n)/(m,n) or batched (B,n,n)/(B,m,n) inputs; for a
+    batch the detected structure must hold for the pattern UNION, so one
+    ``banded_k`` is valid for every lane.  Cost: O(n²) boolean reductions —
+    negligible next to one ADMM factorization."""
+    P = np.asarray(P)
+    A = np.asarray(A)
+    n = P.shape[-1]
+    patP = (np.abs(P) > 0)
+    if patP.ndim == 3:
+        patP = patP.any(axis=0)
+    patA = (np.abs(A) > 0)
+    if patA.ndim == 3:
+        patA = patA.reshape(-1, n)
+    best = 0
+    for k in range(1, min(max_k, n // min_blocks) + 1):
+        if n % k:
+            continue
+        Tb = n // k
+        # block-level patterns: P blocks and A'A blocks via per-row block
+        # incidence (avoids forming the n×n product)
+        blkP = patP.reshape(Tb, k, Tb, k).any(axis=(1, 3))
+        inc = patA.reshape(-1, Tb, k).any(axis=2)          # (m, Tb)
+        blkA = inc.T @ inc                                  # (Tb, Tb) counts
+        coupled = blkP | (blkA > 0)
+        off = np.abs(np.arange(Tb)[:, None] - np.arange(Tb)[None, :]) > 1
+        if not coupled[off].any():
+            return k            # smallest k = most blocks = biggest win
+    return best
+
+
 def horizon_kkt_blocks(T: int, k: int, rng: np.random.Generator = None,
                        rho: float = 1.0):
     """Build a T-step tracking-with-dynamics KKT in block-tridiagonal form:

@@ -396,10 +396,24 @@ def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,
     u = np.asarray(u, dtype=np.float64)
     row_mask = np.asarray(row_mask, dtype=bool)
     B, m, n = A.shape
+    # Trajectory-structure auto-routing (SURVEY §5 long-context axis): when
+    # the batch's KKT pattern is block-tridiagonal with enough blocks, the
+    # x-update factors by cyclic reduction instead of dense Cholesky.  The
+    # variable axis then stays EXACT (bucket padding would break the block
+    # divisibility and densify the pattern).
+    if (CONFIG.banded_auto and "banded_k" not in kw
+            and n >= CONFIG.banded_auto_min_n and P.any()):
+        from ..config import banded_min_blocks
+        from .banded import detect_banded_k
+        bk = detect_banded_k(P, A, min_blocks=banded_min_blocks())
+        if bk:
+            kw["banded_k"] = bk
+            from ..utils.metrics import METRICS
+            METRICS.bump("banded_route", B)
     Bp = bucket(max(B, _min_batch),
                 CONFIG.batch_buckets)
     mp = bucket(m, CONFIG.row_buckets)
-    np_ = bucket(n, CONFIG.dim_buckets)
+    np_ = n if kw.get("banded_k") else bucket(n, CONFIG.dim_buckets)
 
     Pp = np.zeros((Bp, np_, np_))
     # padded variables get unit diagonal so K = P + sigma I stays SPD
