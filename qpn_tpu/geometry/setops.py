@@ -695,12 +695,27 @@ def remove_subsets(pu: Optional[PolyUnion], tol: float = 1e-6):
     """Prune polys contained in another member.  All pairwise containment LPs
     run as ONE batch; the keep/remove decision then replays the reference's
     serial loop so the tie-break for mutually-contained sets is identical
-    (the reference disabled threading over exactly this, sets.jl:890-893)."""
+    (the reference disabled threading over exactly this, sets.jl:890-893).
+
+    Above ``CONFIG.prune_dedup_threshold`` pieces the O(N²) Python pair
+    materialization would dominate (the regime the ring prune exists for,
+    sets.jl:889-905 hazard): a signature-duplicate prune runs FIRST — on the
+    device mesh via the ring-rotated kernel when multiple devices are
+    present — and the geometric stage then uses a vectorized exemplar
+    screen so only certificate-ambiguous pairs materialize as LPs."""
     if pu is None:
         return None
     N = len(pu)
     if N <= 1:
         return pu
+    from ..config import CONFIG
+    if N > CONFIG.prune_dedup_threshold:
+        pu = _dedup_signatures(pu)
+        N = len(pu)
+        if N <= 1:
+            return pu
+    if N > CONFIG.prune_dedup_threshold:
+        return _remove_subsets_large(pu, tol)
     pairs = [(pu[i], pu[j]) for i in range(N) for j in range(N) if i != j]
     flags = issubset_pairs(pairs, tol)
     S = np.zeros((N, N), dtype=bool)
@@ -710,8 +725,128 @@ def remove_subsets(pu: Optional[PolyUnion], tol: float = 1e-6):
             if i != j:
                 S[i, j] = flags[k]
                 k += 1
+    return _serial_keep(pu, S)
+
+
+def _serial_keep(pu: PolyUnion, S: np.ndarray) -> PolyUnion:
+    """The reference's serial keep loop (sets.jl:895-905): piece i drops iff
+    it is a subset of a not-yet-dropped j — the deterministic tie-break that
+    keeps exactly one member of each mutual-containment group."""
+    N = len(pu)
     is_subset = np.zeros(N, dtype=bool)
     for i in range(N):
         if any(S[i, j] and not is_subset[j] for j in range(N) if j != i):
             is_subset[i] = True
     return PolyUnion([pu[i] for i in range(N) if not is_subset[i]])
+
+
+def piece_signature(p: Poly) -> np.ndarray:
+    """(5,) int32 content signature of a poly's normalized H-rep, rounded to
+    the framework's 5-digit dedup precision (sets.jl:105-112 convention).
+    Equal signatures ⇔ identical pieces at that precision."""
+    import hashlib
+    rows = np.round(np.column_stack([
+        p.A, p.l, p.u,
+        p.strict_l.astype(np.float64), p.strict_u.astype(np.float64)]), 5)
+    rows = rows[np.lexsort(rows.T[::-1])]            # row-order canonical
+    h = hashlib.sha1(np.ascontiguousarray(rows).tobytes()
+                     + p.dim.to_bytes(4, "little")).digest()
+    return np.frombuffer(h[:20], dtype=np.int32).copy()
+
+
+def _dedup_signatures(pu: PolyUnion) -> PolyUnion:
+    """Drop exact (5-digit) duplicate pieces, keeping the LAST of each group
+    — the member the serial containment loop would keep.  Runs on the device
+    mesh (ring-rotated above RING_PRUNE_THRESHOLD) when >1 device is
+    available; numpy otherwise (identical mask)."""
+    from ..utils.metrics import METRICS
+    N = len(pu)
+    sig = np.stack([piece_signature(p) for p in pu.polys])
+    # reversed index ⇒ lowest-wins dominance keeps the LAST duplicate,
+    # matching the serial loop's tie-break for identical pieces
+    order = np.arange(N - 1, -1, -1)
+    import jax
+    if len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+        from ..parallel.sharded import sharded_containment_prune
+        mesh = make_mesh(len(jax.devices()))
+        pad = -(-N // len(jax.devices())) * len(jax.devices()) - N
+        if pad:
+            # padded lanes: unique random-free signatures (the row index
+            # baked in) so they never dominate a real lane
+            filler = np.full((pad, sig.shape[1]), -(2 ** 31 - 1), np.int32)
+            filler[:, 0] = np.arange(pad)
+            sig_p = np.concatenate([sig, filler])
+            order_p = np.concatenate([order, N + np.arange(pad)])
+        else:
+            sig_p, order_p = sig, order
+        keep = np.asarray(sharded_containment_prune(
+            mesh, sig_p, order_p.astype(np.float64)))[:N]
+        METRICS.bump("prune_dedup_sharded", N)
+    else:
+        keep = np.ones(N, dtype=bool)
+        seen = {}
+        for i in range(N - 1, -1, -1):               # last wins
+            key = sig[i].tobytes()
+            if key in seen:
+                keep[i] = False
+            else:
+                seen[key] = i
+        METRICS.bump("prune_dedup_host", N)
+    dropped = int(N - keep.sum())
+    if dropped:
+        METRICS.bump("prune_dedup_dropped", dropped)
+    return PolyUnion([p for p, k in zip(pu.polys, keep) if k])
+
+
+def _remove_subsets_large(pu: PolyUnion, tol: float) -> PolyUnion:
+    """Containment prune without O(N²) Python pair materialization: the
+    exemplar certificate screen runs as blockwise numpy over the padded row
+    stacks, and only certificate-ambiguous (i, j) pairs fall through to
+    support LPs.  Decision semantics identical to the pairwise path."""
+    from ..utils.metrics import METRICS
+    N = len(pu)
+    d = pu[0].dim
+    empty, ex = exemplar_batch(list(pu.polys))
+    m_max = max(p.m for p in pu.polys)
+    A = np.zeros((N, m_max, d))
+    lo = np.full((N, m_max), -_INF)
+    up = np.full((N, m_max), _INF)
+    for j, p in enumerate(pu.polys):
+        A[j, :p.m] = p.A
+        lo[j, :p.m] = p.l
+        up[j, :p.m] = p.u
+    X = np.zeros((N, d))
+    has_x = np.zeros(N, dtype=bool)
+    for i in range(N):
+        if not empty[i] and ex[i] is not None:
+            X[i] = ex[i]
+            has_x[i] = True
+    thr = max(tol, 1e-5)
+    # blockwise violation of exemplar x_i against every piece j's rows
+    maybe = np.zeros((N, N), dtype=bool)     # pair (i, j) needs the LP path
+    blk = max(1, int(2e7 // (N * m_max)) or 1)
+    for j0 in range(0, N, blk):
+        j1 = min(N, j0 + blk)
+        ax = np.einsum("jmd,id->ijm", A[j0:j1], X)
+        with np.errstate(invalid="ignore"):
+            v = np.maximum(
+                np.where(np.isfinite(lo[None, j0:j1]), lo[None, j0:j1] - ax,
+                         -_INF),
+                np.where(np.isfinite(up[None, j0:j1]), ax - up[None, j0:j1],
+                         -_INF))
+        viol = np.nanmax(v, axis=2, initial=-_INF) > thr
+        maybe[:, j0:j1] = ~viol
+    # exemplar-less pieces can't be screened; empty pieces are never subsets
+    maybe[~has_x & ~np.asarray(empty, dtype=bool), :] = True
+    maybe[np.asarray(empty, dtype=bool), :] = False
+    np.fill_diagonal(maybe, False)
+    idx_pairs = np.argwhere(maybe)
+    METRICS.bump("prune_large_lp_pairs", len(idx_pairs))
+    S = np.zeros((N, N), dtype=bool)
+    if len(idx_pairs):
+        pairs = [(pu[int(i)], pu[int(j)]) for i, j in idx_pairs]
+        flags = issubset_pairs(pairs, tol)
+        for (i, j), f in zip(idx_pairs, flags):
+            S[int(i), int(j)] = f
+    return _serial_keep(pu, S)

@@ -74,7 +74,9 @@ def sharded_containment_prune(mesh: Mesh, act, resid):
     analogue, SURVEY §5 long-context)."""
     B = act.shape[0]
     if B > RING_PRUNE_THRESHOLD:
+        from ..utils.metrics import METRICS
         from .ring import ring_containment_prune
+        METRICS.bump("ring_prune_waves")
         return ring_containment_prune(mesh, act, resid)
     sh = scenario_sharding(mesh)
 
