@@ -265,11 +265,58 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
             lam_out[sc == 2] = lam[sc == 2]
             results[i] = SimpleNamespace(solution=True, lam=lam_out, e=None)
 
-    # fallback: per-item dual LCP for unresolved tasks
-    for i, (qp, constraints, dec_inds) in enumerate(tasks):
-        if results[i] is None:
-            results[i] = verify_solution(qp, -1, constraints, dec_inds, x,
-                                         check_convexity=False, tol=tol)
+    # fallback: dual LCP for unresolved tasks — batched into ONE padded QP
+    # kernel call (qp_processing.jl:128-146 semantics per item; the serial
+    # per-item loop was the dominant cost of trajectory-class verifies,
+    # ~0.15s × hundreds of tasks)
+    unresolved = [i for i in range(B) if results[i] is None]
+    if unresolved:
+        Bu = len(unresolved)
+        mu = max(prepared[i][0].shape[0] for i in unresolved)
+        du = max(len(prepared[i][4]) for i in unresolved)
+        Au = np.zeros((Bu, mu, du))            # unsigned active-row stacks
+        qtu = np.zeros((Bu, du))
+        lbu = np.zeros((Bu, mu))
+        ubu = np.zeros((Bu, mu))
+        Pu = np.zeros((Bu, mu, mu))
+        for k, i in enumerate(unresolved):
+            A, l, u, q_t, dec_inds, feasible = prepared[i]
+            m = A.shape[0]
+            ax = A @ x
+            pos = ax < l + 1e-2
+            neg = ax > u - 1e-2
+            both = pos & neg
+            Au[k, :m, :len(dec_inds)] = A[:, dec_inds]
+            qtu[k, :len(dec_inds)] = q_t
+            lbu[k, :m] = np.where(neg | both, -np.inf, 0.0)
+            ubu[k, :m] = np.where(pos | both, np.inf, 0.0)
+            Pu[k] = Au[k] @ Au[k].swapaxes(0, 1)
+            Pu[k, range(m, mu), range(m, mu)] = 1.0     # padded λ rows: SPD
+        qu = -np.einsum("bmd,bd->bm", Au, qtu)
+        eye = np.repeat(np.eye(mu)[None], Bu, axis=0)
+        sols = batch_qp.solve_qp_batch_padded(
+            Pu, qu, eye, lbu, ubu, np.ones((Bu, mu), dtype=bool))
+        st = np.asarray(sols.status)
+        lam_u = np.asarray(sols.x)
+        for k, i in enumerate(unresolved):
+            A, l, u, q_t, dec_inds, feasible = prepared[i]
+            m = A.shape[0]
+            if st[k] not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
+                results[i] = SimpleNamespace(
+                    solution=False, lam=None,
+                    e=f"Solving for duals failed. Solver failure. "
+                      f"Status value is {st[k]}.")
+                continue
+            lam = lam_u[k, :m]
+            # fixed 1e-4 acceptance independent of `tol`: reference parity
+            # (qp_processing.jl:140 hard-codes atol=1e-4 in the fallback)
+            if np.allclose(A[:, dec_inds].T @ lam, q_t, atol=1e-4):
+                results[i] = SimpleNamespace(solution=True, lam=lam, e=None)
+            else:
+                results[i] = SimpleNamespace(
+                    solution=False, lam=lam,
+                    e="Current point is suboptimal (via QP).")
+        METRICS.bump("verify_lcp_fallback_batched", Bu)
     METRICS.bump("verify_batched", B)
     return results
 
@@ -1105,6 +1152,38 @@ def solve_base(qpn: QPNet, x_init, request=frozenset(),
                                error=err)
 
 
+def _chain_sweep_warmstart(qpn: QPNet):
+    """Level-pipeline fast path (SURVEY §2.3 row 6 — the PP analogue latent
+    in the reference's per-level recursion, algorithm.jl:32-43).
+
+    Chain networks in the fast class (one player per level, own-variable
+    constraints, objective coupling only to the single child — the checks in
+    parallel.sharded.stack_chain_avis) have an init-independent equilibrium
+    computed by ONE bottom-up lax.scan over stacked per-level KKT AVIs —
+    no host recursion, no QEP assembly.  Returns the sweep point, or None
+    when the network is outside the class or the sweep residuals fail —
+    the caller then falls back to host recursion.  The point is consumed as
+    a warm start: solve_base still runs its full verification and graph
+    generation, so a wrong sweep degrades to extra iterations, never to a
+    wrong answer."""
+    if qpn.num_levels() < 3:
+        return None          # shallow nets: the scan saves nothing
+    try:
+        from .parallel.sharded import level_sweep_scan, stack_chain_avis
+        M, Nc, o, l, u, nd, owns = stack_chain_avis(qpn)
+    except (ValueError, AssertionError):
+        return None
+    carry, zs, resids = level_sweep_scan(M, Nc, o, l, u, nd, np.zeros(nd))
+    if float(np.max(np.asarray(resids))) > 1e-8:
+        METRICS.bump("chain_sweep_residual_reject")
+        return None
+    x = np.zeros(qpn.num_vars)
+    for lvl, own in enumerate(owns):
+        x[own] = np.asarray(zs)[lvl, :nd]
+    METRICS.bump("chain_sweep")
+    return x
+
+
 def solve(qpn: QPNet, x_init=None, parent_level_request=frozenset(),
           relaxable_inds=frozenset(), level: int = 1,
           proj_vectors=None, rng=None, seed: int = 1,
@@ -1131,6 +1210,13 @@ def solve(qpn: QPNet, x_init=None, parent_level_request=frozenset(),
     if active_broker() is None:
         METRICS.reset()
     qpn.metrics = METRICS
+    if level == 1:
+        # chain networks in the fast class solve their (init-independent)
+        # equilibrium in one scan; solve_base then verifies it and builds
+        # the solution graphs without any QEP step
+        x_sweep = _chain_sweep_warmstart(qpn)
+        if x_sweep is not None:
+            x_init = x_sweep
     with METRICS.timer("solve"):
         ret = solve_base(qpn, x_init, parent_level_request, relaxable_inds,
                          level=level, proj_vectors=proj_vectors, rng=rng,

@@ -104,6 +104,37 @@ def test_level_sweep_scan_matches_recursion():
     np.testing.assert_allclose(x_sweep, ret.x_opt, atol=1e-8)
 
 
+def test_chain_sweep_routed_in_solve():
+    """solve() routes chain networks through the level_sweep_scan warm start
+    (VERDICT r2 item 4): the sweep counter fires, ZERO QEP solves remain,
+    and the equilibrium + returned solution graphs are identical to the
+    host-recursive route."""
+    import qpn_tpu as qt
+    import qpn_tpu.algorithm as alg
+    from qpn_tpu.utils.metrics import METRICS
+    qpn = qt.setup("deep_synthetic", levels=6, width=1)
+    ret = qt.solve(qpn)
+    assert ret.solved
+    assert METRICS.counters.get("chain_sweep", 0) == 1
+    assert METRICS.counters.get("qep_solves", 0) == 0
+    x_sweep = ret.x_opt
+    pieces_sweep = {k: len(v) for k, v in ret.Sol.items() if v is not None}
+    orig = alg._chain_sweep_warmstart
+    alg._chain_sweep_warmstart = lambda q: None
+    try:
+        ret2 = qt.solve(qt.setup("deep_synthetic", levels=6, width=1))
+    finally:
+        alg._chain_sweep_warmstart = orig
+    assert ret2.solved
+    np.testing.assert_allclose(x_sweep, ret2.x_opt, atol=1e-8)
+    assert pieces_sweep == {k: len(v) for k, v in ret2.Sol.items()
+                            if v is not None}
+    # non-chain networks must not take the sweep (class checks fail loudly
+    # inside stack_chain_avis and the fallback kicks in)
+    qpn3 = qt.setup("simple_bilevel")
+    assert alg._chain_sweep_warmstart(qpn3) is None
+
+
 def test_level_sweep_scan_sharded_ensemble():
     """The level sweep vmaps over a scenario ensemble and shards over the
     mesh: vary the targets (the o vector) per scenario."""
