@@ -240,25 +240,53 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
     # pinned to 0 via a large diagonal penalty.  Convert each host stack to
     # device ONCE — this is the hot verification path and (B, m_p, d_p) is
     # the largest tensor in it.
+    #
+    # Sign-refinement rounds: the unconstrained LSQ dual of a degenerate
+    # active set often carries wrong-signed entries even when a valid
+    # signed dual exists (trajectory-class tasks: measured 254/256 tasks
+    # falling through to the dual-LCP QP, the dominant verify cost).  An
+    # NNLS-style clamp: pin the wrong-signed single-sided rows to 0 and
+    # re-solve — each round reuses the SAME G with a new pin diagonal, one
+    # batched Cholesky.  Acceptance stays certificate-based (signs AND
+    # stationarity residual), so refinement can only move tasks from the
+    # expensive fallback to the cheap path, never change an outcome.
     Adj = jnp.asarray(Ad)
     qtj = jnp.asarray(qt)
-    G = jnp.einsum("bmd,bkd->bmk", Adj, Adj)
-    pin = jnp.where(jnp.asarray(act_mask), 0.0, 1e12)
-    G = G + (1e-12 + pin)[:, :, None] * jnp.eye(m_p)[None]
+    G0 = jnp.einsum("bmd,bkd->bmk", Adj, Adj)
     rhs = jnp.einsum("bmd,bd->bm", Adj, qtj)
-    lam_j = chol_solve(G, rhs)
-    lam_all = np.asarray(lam_j)
-    resid_all = np.asarray(jnp.einsum("bmd,bm->bd", Adj, lam_j) - qtj)
+    eye_m = jnp.eye(m_p)[None]
+    sc_all = sign_class
+    single = (sc_all == 1) | (sc_all == -1)
+    act_work = act_mask.copy()
+    certified = np.zeros(B, dtype=bool)
+    lam_best = np.zeros((B, m_p))
+    for _round in range(3):
+        pin = jnp.where(jnp.asarray(act_work), 0.0, 1e12)
+        lam_j = chol_solve(G0 + (1e-12 + pin)[:, :, None] * eye_m, rhs)
+        lam_all = np.asarray(lam_j)
+        resid_all = np.asarray(
+            jnp.einsum("bmd,bm->bd", Adj, lam_j) - qtj)
+        lam_all = np.where(act_work, lam_all, 0.0)
+        bad_sign = single & act_work & (lam_all <= -tol)
+        ok_signs_b = ~bad_sign.any(axis=1)
+        ok_resid_b = np.abs(resid_all).max(axis=1) <= tol
+        newly = ~certified & ok_signs_b & ok_resid_b
+        lam_best[newly] = lam_all[newly]
+        certified |= newly
+        todo = ~certified & bad_sign.any(axis=1)
+        if not todo.any():
+            break
+        act_work = act_work & ~(bad_sign & todo[:, None])
+        if _round:
+            METRICS.bump("verify_sign_refine_rounds")
 
     for i, (A, l, u, q_t, dec_inds, feasible) in enumerate(prepared):
         if results[i] is not None:
             continue
-        m = A.shape[0]
-        lam = lam_all[i, :m]
-        sc = sign_class[i, :m]
-        ok_signs = np.all(lam[(sc == 1) | (sc == -1)] > -tol)
-        ok_resid = np.abs(resid_all[i, :len(dec_inds)]).max(initial=0.0) <= tol
-        if ok_signs and ok_resid:
+        if certified[i]:
+            m = A.shape[0]
+            lam = lam_best[i, :m]
+            sc = sign_class[i, :m]
             lam_out = np.zeros(m)
             lam_out[sc == 1] = lam[sc == 1]
             lam_out[sc == -1] = -lam[sc == -1]

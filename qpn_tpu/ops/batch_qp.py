@@ -161,8 +161,20 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
                         jnp.max(jnp.abs(q), initial=0.0)))
         return prim, dual, prim_rel, dual_rel
 
-    def body(state):
-        k, x, z, y, L, R, rho, status, dx_acc, dy_acc = state
+    # Epoch-structured main loop.  Under vmap, lax.cond lowers to select —
+    # BOTH branches execute for every lane on every iteration — so guarding
+    # the residual check / rho refactorization with cond inside a
+    # per-iteration body still pays a full K rebuild + Cholesky each
+    # iteration (~25x the useful FLOPs; measured 50s -> 3s on a
+    # (512, 256, 128) verification batch).  Instead: an inner fori_loop of
+    # ``check_every`` bare iterations (matvecs + triangular solves only),
+    # with residuals, termination certificates, and rho adaptation ONCE per
+    # epoch at the boundary — the same cadence the old per-iteration
+    # cond-guards produced (check at k%25==24, adapt at k%100==99).
+    adapt_every = max(100 // check_every, 1) * check_every
+
+    def iter_once(_, carry):
+        x, z, y, dx_acc, dy_acc, L, R = carry
         rhs = sigma * x - q + A.T @ (R * z - y)
         x_new = chol_solve(L, rhs)
         Ax = A @ x_new
@@ -171,61 +183,59 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         z_new = jnp.where(loose, z_relaxed + y / R, z_new)
         y_new = y + R * (z_relaxed - z_new)
         x_new = alpha * x_new + (1 - alpha) * x
+        return (x_new, z_new, y_new,
+                dx_acc * 0.5 + (x_new - x), dy_acc * 0.5 + (y_new - y), L, R)
 
-        dx = x_new - x
-        dy = y_new - y
+    def body(state):
+        k, x, z, y, L, R, rho, status, dx_acc, dy_acc = state
+        x, z, y, dx_acc, dy_acc, _, _ = jax.lax.fori_loop(
+            0, check_every, iter_once, (x, z, y, dx_acc, dy_acc, L, R))
+        k = k + check_every
 
-        def check(_):
-            prim, dual, prim_rel, dual_rel = residuals(x_new, z_new, y_new)
-            eps_p = eps + eps * prim_rel
-            eps_d = eps + eps * dual_rel
-            solved = (prim <= eps_p) & (dual <= eps_d)
+        prim, dual, prim_rel, dual_rel = residuals(x, z, y)
+        eps_p = eps + eps * prim_rel
+        eps_d = eps + eps * dual_rel
+        solved = (prim <= eps_p) & (dual <= eps_d)
 
-            # primal infeasibility certificate on accumulated dy
-            ny = jnp.max(jnp.abs(dy_acc + dy), initial=0.0)
-            dyv = (dy_acc + dy) / jnp.maximum(ny, 1e-30)
-            Atdy = jnp.max(jnp.abs(A.T @ dyv), initial=0.0)
-            sup = jnp.sum(jnp.where(row_mask,
-                                    _clip_inf(u) * jnp.maximum(dyv, 0)
-                                    + _clip_inf(l) * jnp.minimum(dyv, 0), 0.0))
-            pinf = (ny > 1e-12) & (Atdy <= 1e-6) & (sup <= -1e-6)
+        # primal infeasibility certificate on accumulated dy
+        ny = jnp.max(jnp.abs(dy_acc), initial=0.0)
+        dyv = dy_acc / jnp.maximum(ny, 1e-30)
+        Atdy = jnp.max(jnp.abs(A.T @ dyv), initial=0.0)
+        sup = jnp.sum(jnp.where(row_mask,
+                                _clip_inf(u) * jnp.maximum(dyv, 0)
+                                + _clip_inf(l) * jnp.minimum(dyv, 0), 0.0))
+        pinf = (ny > 1e-12) & (Atdy <= 1e-6) & (sup <= -1e-6)
 
-            # dual infeasibility certificate on accumulated dx
-            nx = jnp.max(jnp.abs(dx_acc + dx), initial=0.0)
-            dxv = (dx_acc + dx) / jnp.maximum(nx, 1e-30)
-            Pdx = jnp.max(jnp.abs(P @ dxv), initial=0.0)
-            qdx = jnp.dot(q, dxv)
-            Adx = A @ dxv
-            cone_ok = jnp.all(jnp.where(~row_mask, True,
-                      jnp.where(jnp.isfinite(l) & jnp.isfinite(u), jnp.abs(Adx) <= 1e-6,
-                      jnp.where(jnp.isfinite(l), Adx >= -1e-6,
-                      jnp.where(jnp.isfinite(u), Adx <= 1e-6, True)))))
-            dinf = (nx > 1e-12) & (Pdx <= 1e-6) & (qdx <= -1e-6) & cone_ok
+        # dual infeasibility certificate on accumulated dx
+        nx = jnp.max(jnp.abs(dx_acc), initial=0.0)
+        dxv = dx_acc / jnp.maximum(nx, 1e-30)
+        Pdx = jnp.max(jnp.abs(P @ dxv), initial=0.0)
+        qdx = jnp.dot(q, dxv)
+        Adx = A @ dxv
+        cone_ok = jnp.all(jnp.where(~row_mask, True,
+                  jnp.where(jnp.isfinite(l) & jnp.isfinite(u), jnp.abs(Adx) <= 1e-6,
+                  jnp.where(jnp.isfinite(l), Adx >= -1e-6,
+                  jnp.where(jnp.isfinite(u), Adx <= 1e-6, True)))))
+        dinf = (nx > 1e-12) & (Pdx <= 1e-6) & (qdx <= -1e-6) & cone_ok
 
-            return jnp.where(solved, SOLVED,
-                   jnp.where(pinf, PRIMAL_INFEASIBLE,
-                   jnp.where(dinf, DUAL_INFEASIBLE, MAX_ITER))).astype(jnp.int32)
+        status = jnp.where(solved, SOLVED,
+                 jnp.where(pinf, PRIMAL_INFEASIBLE,
+                 jnp.where(dinf, DUAL_INFEASIBLE, MAX_ITER))).astype(jnp.int32)
 
-        do_check = (k % check_every) == (check_every - 1)
-        status = jax.lax.cond(do_check, check, lambda _: status, None)
+        # adaptive rho on residual balance (refactor rides the epoch
+        # boundary; applying it only when the ratio moved 5x keeps the
+        # factorization identical on quiet epochs)
+        ratio = jnp.sqrt((prim / jnp.maximum(prim_rel, 1e-12))
+                         / jnp.maximum(dual / jnp.maximum(dual_rel, 1e-12),
+                                       1e-12))
+        rho_new = jnp.clip(rho * ratio, 1e-6, 1e6)
+        allowed = ((k % adapt_every) == 0) & (k - check_every < max_iter // 2)
+        big_change = (rho_new > 5 * rho) | (rho_new < rho / 5)
+        rho = jnp.where(allowed & big_change & (status == MAX_ITER),
+                        rho_new, rho)
+        L, R = factor(rho)
 
-        # adaptive rho every 100 iters based on residual balance
-        def adapt(_):
-            prim, dual, prim_rel, dual_rel = residuals(x_new, z_new, y_new)
-            ratio = jnp.sqrt((prim / jnp.maximum(prim_rel, 1e-12))
-                             / jnp.maximum(dual / jnp.maximum(dual_rel, 1e-12), 1e-12))
-            rho_new = jnp.clip(rho * ratio, 1e-6, 1e6)
-            big_change = (rho_new > 5 * rho) | (rho_new < rho / 5)
-            rho_new = jnp.where(big_change, rho_new, rho)
-            L_new, R_new = jax.lax.cond(big_change, lambda _: factor(rho_new),
-                                        lambda _: (L, R), None)
-            return L_new, R_new, rho_new
-
-        do_adapt = ((k % 100) == 99) & (k < max_iter // 2)
-        L, R, rho = jax.lax.cond(do_adapt, adapt, lambda _: (L, R, rho), None)
-
-        return (k + 1, x_new, z_new, y_new, L, R, rho, status,
-                dx_acc * 0.5 + dx, dy_acc * 0.5 + dy)
+        return (k, x, z, y, L, R, rho, status, dx_acc, dy_acc)
 
     def cond(state):
         return (state[0] < max_iter) & (state[7] == MAX_ITER)
@@ -255,9 +265,15 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         act = act_l | act_u
         bnd = jnp.where(act_l, lc0, uc0)
         w = act.astype(dt)
-        # KKT of equality-constrained QP with active rows:
-        #  [P  Aact'] [x]   [-q ]
-        #  [Aact  0 ] [ν] = [bnd]
+        # Regularized KKT of the equality-constrained QP on active rows:
+        #  [P+δI  Aact'] [x]   [-q ]
+        #  [Aact   -δI ] [ν] = [bnd]
+        # solved by dense QR.  (An SPD Schur-complement route through two
+        # Choleskys is ~10x faster but loses dual accuracy when P is
+        # singular — LP-like lanes get x ~ (P+δI)⁻¹(...) cancellation at
+        # scale 1/δ — and the degraded duals flip downstream active-set
+        # labels: deep_synthetic chain solves regress.  Keep QR until a
+        # polish with LP-safe numerics is validated.)
         delta = 1e-9
         K = jnp.block([
             [P0 + delta * jnp.eye(n, dtype=dt), (A0 * w[:, None]).T],

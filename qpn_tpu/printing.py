@@ -49,6 +49,66 @@ def format_poly_union(pu: PolyUnion, max_polys: int = 10) -> str:
     return out.getvalue()
 
 
+def format_labeled_poly(p: Poly, labels=None, max_rows: int = 500,
+                        indent: int = 0) -> str:
+    """Aligned H-rep rendering with variable-name column headers — the
+    reference's LabeledPoly printer (printing.jl:17-112): names truncated to
+    4 chars over their columns, rows in lexicographic order with equalities
+    first, ``⋅`` for structural zeros, strictness markers on each bound.
+
+    ``labels`` maps name -> variable index (the GAVI label dict layout,
+    avi.jl:216-249 / create_labeled_gavi_from_qp)."""
+    from .geometry.poly import get_lexico_ordering
+
+    sp = " " * indent
+    out = io.StringIO()
+    out.write(f"{sp}Polyhedron in R^{p.dim} with {p.m} constraints.\n")
+    if p.m > max_rows or p.dim > max_rows:
+        return out.getvalue()
+    order = np.asarray(get_lexico_ordering(p.A), dtype=int)
+    eq = np.isclose(p.l[order], p.u[order], atol=1e-6)
+    order = np.concatenate([order[eq], order[~eq]])
+    if labels:
+        rev = {ind: name for name, ind in labels.items() if ind < p.dim}
+        hdr = "".join(f"{rev.get(j, '')[:4]:^10}" for j in range(p.dim))
+        out.write(f"{sp}{'':14}{hdr}\n")
+    half = (len(order) + 1) // 2
+    for e, i in enumerate(order):
+        lo = "<" if p.strict_l[i] else "≤"
+        hi = "<" if p.strict_u[i] else "≤"
+        row = "".join("    ·     " if abs(a) < 1e-12 else f"{a:^10.2f}"
+                      for a in p.A[i])
+        mid = "| x" if e + 1 == half else "|  "
+        out.write(f"{sp}{_fmt(p.l[i])} {lo} |{row}{mid} {hi} "
+                  f"{_fmt(p.u[i])}\n")
+    return out.getvalue()
+
+
+def format_intersection_tree(pus, red_lengths=None, indent: int = 0) -> str:
+    """The reference's IntersectionRoot/IntersectionNode tree printer
+    (printing.jl:148-169): root line with the potential leaf count, then the
+    per-depth contributing polys nested two spaces per level.  Our lazy tree
+    is the level-synchronous generator ``intersection_iter``; its factor
+    unions ARE the children lists the reference's nodes hold."""
+    sp = " " * indent
+    out = io.StringIO()
+    potential = 1
+    for pu in pus:
+        potential *= max(len(pu), 1)
+    out.write(f"{sp}Intersection root with {potential} potential polys\n")
+    for depth, pu in enumerate(pus):
+        pad = indent + 2 * (depth + 1)
+        red = (f" ({red_lengths[depth]} complement)"
+               if red_lengths is not None else "")
+        out.write(f"{' ' * pad}depth {depth}: {len(pu)} contributing "
+                  f"polys{red}\n")
+        for p in pu:
+            body = format_poly(p, max_rows=6).rstrip("\n")
+            for line in body.split("\n"):
+                out.write(f"{' ' * (pad + 2)}{line}\n")
+    return out.getvalue()
+
+
 def format_quadratic(f: Quadratic, names=None) -> str:
     """½x'Qx + q'x + k rendering (printing.jl:179-217)."""
     n = f.Q.shape[0]

@@ -28,6 +28,43 @@ def test_format_quadratic():
     assert "+1 a·b" in s and "+1 a²" in s
 
 
+def test_format_labeled_poly_golden():
+    # the reference's LabeledPoly printer (printing.jl:17-112): name headers,
+    # lexicographic rows with equalities first, · for zeros, x-marker at the
+    # middle row, strictness markers on bounds
+    A = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    p = Poly(A, np.array([0.0, -1.0, 2.0]), np.array([1.0, 1.0, 2.0]))
+    s = printing.format_labeled_poly(p, labels={"x": 0, "yvar": 1})
+    lines = s.rstrip("\n").split("\n")
+    assert lines[0] == "Polyhedron in R^2 with 3 constraints."
+    assert "x" in lines[1] and "yvar" in lines[1]
+    # equality row (l == u == 2) printed first
+    assert lines[2].lstrip().startswith("2 ≤")
+    # exactly one row carries the midpoint marker "| x"
+    assert sum("| x" in ln for ln in lines) == 1
+    # structural zeros render as ·
+    assert "·" in s
+    # strictness markers flip ≤ to <
+    ps = Poly(A, np.array([0.0, -1.0, 2.0]), np.array([1.0, 1.0, 2.0]),
+              strict_l=np.array([True, False, False]))
+    assert "<" in printing.format_labeled_poly(ps)
+
+
+def test_format_intersection_tree_golden():
+    # the reference's IntersectionRoot printer (printing.jl:148-169): root
+    # line with the potential leaf count, per-depth children nested
+    p = from_box([0.0], [1.0])
+    s = printing.format_intersection_tree(
+        [PolyUnion([p]), PolyUnion([p, p])], red_lengths=[1, 0])
+    lines = s.split("\n")
+    assert lines[0] == "Intersection root with 2 potential polys"
+    assert lines[1] == "  depth 0: 1 contributing polys (1 complement)"
+    assert any(ln.startswith("    depth 1: 2 contributing polys")
+               for ln in lines)
+    # children indent two spaces per depth
+    assert any(ln.startswith("      Poly in R^1") for ln in lines)
+
+
 def test_min_norm_objective():
     f = requests.min_norm_objective(4, [1, 3])
     assert f(np.array([1.0, 2.0, 3.0, 4.0])) == pytest.approx(0.5 * (4 + 16))
