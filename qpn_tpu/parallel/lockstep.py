@@ -117,6 +117,15 @@ class LockstepBroker:
                     out = batch_qp.solve_qp_batch_padded(
                         *cat, _no_broker=True, _sharding=sharding,
                         _min_batch=min_batch, **kw)
+                elif kind == "lp_host":
+                    # host-engine geometry LPs: one fused exact-shape OpenMP
+                    # batch instead of per-scenario native calls contending
+                    # for the same cores; no mesh sharding (host execution)
+                    from ..ops.lemke import solve_lp_host_batch
+                    from ..utils.metrics import METRICS
+                    out = solve_lp_host_batch(*cat, _no_broker=True, **kw)
+                    METRICS.bump("broker_lp_host_waves")
+                    METRICS.bump("broker_lp_host_fused", len(group))
                 else:           # pragma: no cover
                     raise ValueError(kind)
             except BaseException as e:          # noqa: BLE001

@@ -124,3 +124,70 @@ class TestBrokerRobustness:
             is_lp = not np.asarray(r.args[0]).any()
             keys.add((r.kind, is_lp))
         assert len(keys) == 2
+
+
+class TestHostLPParking:
+    """VERDICT r2 item 9: host-engine geometry LPs must also park at the
+    broker (fusing OpenMP batches across scenarios) instead of bypassing
+    the waves entirely."""
+
+    def test_host_lp_requests_fuse_and_match_direct(self):
+        from qpn_tpu.utils.native import native_available
+        if not native_available():
+            pytest.skip("native host engine unavailable")
+        from qpn_tpu.ops.lemke import solve_lp_host_batch
+        from qpn_tpu.utils.metrics import METRICS
+
+        rng = np.random.default_rng(3)
+        jobs_args = []
+        for _ in range(3):
+            c = rng.standard_normal((2, 3))
+            A = rng.standard_normal((2, 4, 3))
+            l = -np.ones((2, 4)) - rng.random((2, 4))
+            u = np.ones((2, 4)) + rng.random((2, 4))
+            rm = np.ones((2, 4), bool)
+            jobs_args.append((c, A, l, u, rm))
+        direct = [solve_lp_host_batch(*a, _no_broker=True)
+                  for a in jobs_args]
+        assert all(d is not None for d in direct)
+
+        waves0 = METRICS.counters.get("broker_lp_host_waves", 0)
+        broker = LockstepBroker()
+        outs = broker.run([
+            (lambda a=a: solve_lp_host_batch(*a)) for a in jobs_args])
+        assert METRICS.counters.get("broker_lp_host_waves", 0) > waves0
+        for o, d in zip(outs, direct):
+            np.testing.assert_allclose(np.asarray(o.x), np.asarray(d.x),
+                                       atol=1e-9)
+            np.testing.assert_allclose(np.asarray(o.obj), np.asarray(d.obj),
+                                       atol=1e-9)
+
+    def test_remove_subsets_parks_host_lps(self):
+        """remove_subsets — the production dedup entry inside solve() — runs
+        its support/containment LPs through the host engine; under a broker
+        those LPs must park and fuse across scenario workers."""
+        from qpn_tpu.utils.native import native_available
+        from qpn_tpu.config import CONFIG
+        if not native_available() or CONFIG.support_engine != "host":
+            pytest.skip("host support engine not in play")
+        from qpn_tpu.geometry.poly import PolyUnion, random_polys_of_dim
+        from qpn_tpu.geometry.setops import remove_subsets
+        from qpn_tpu.geometry.query_cache import CACHE
+        from qpn_tpu.utils.metrics import METRICS
+
+        def union(seed):
+            rng = np.random.default_rng(seed)
+            return PolyUnion(random_polys_of_dim(rng, 6, 3))
+
+        CACHE.clear()
+        direct = [[p.m for p in remove_subsets(union(s)).polys]
+                  for s in (7, 8)]
+        CACHE.clear()
+        waves0 = METRICS.counters.get("broker_lp_host_waves", 0)
+        broker = LockstepBroker()
+        outs = broker.run([
+            (lambda s=s: remove_subsets(union(s))) for s in (7, 8)])
+        assert METRICS.counters.get("broker_lp_host_waves", 0) > waves0
+        # decision parity with the direct path
+        for o, d in zip(outs, direct):
+            assert [p.m for p in o.polys] == d
