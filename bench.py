@@ -140,6 +140,42 @@ def main():
             "hbm_bw_frac": round((by / t_batch) / V5E_HBM_GBS, 4),
         }
 
+    # ---- large-config row: arithmetic-bound regime (VERDICT r2 item 2) --
+    # T=8 trajectory horizon, num_obj=4, S=1024 scenarios sharing one KKT
+    # matrix (n=608): solved by the shared-matrix GEMM route
+    # (ops/shared_kkt) whose per-iteration work is (S,n)@(n,n) MXU matmuls
+    # plus batched f32 LU factorizations — the regime where MFU, not
+    # dispatch latency, is the binding roofline.  TPU-only: the CPU
+    # fallback backend has no MXU and the row would measure the wrong
+    # machine.
+    if backend != "cpu":
+        from qpn_tpu.ops.shared_kkt import solve_kkt_avi_shared
+        Sl = 1024
+        big = scenario_batch_gavis(num_scenarios=Sl, T=8, num_obj=4,
+                                   num_poly_faces=4, seed=0)
+        stats = {}
+        r = solve_kkt_avi_shared(big["M"][0], big["q"], big["l"], big["u"],
+                                 None, tol=1e-8, stats=stats)   # warm/compile
+        tl = []
+        for _ in range(3):
+            stats = {}
+            t0 = time.perf_counter()
+            r = solve_kkt_avi_shared(big["M"][0], big["q"], big["l"],
+                                     big["u"], None, tol=1e-8, stats=stats)
+            tl.append(time.perf_counter() - t0)
+        t_large = min(tl)
+        conv_l = float(np.asarray(r.converged).mean())
+        achieved_l = stats["device_flops"] / t_large
+        extra["large"] = {
+            "config": f"robust_avoid T=8 num_obj=4 S={Sl} n={big['M'].shape[1]}",
+            "solves_per_sec": round(Sl / t_large, 2),
+            "conv": round(conv_l, 4),
+            "achieved_gflops": round(achieved_l / 1e9, 2),
+            "mfu_vs_f32_peak": round(achieved_l / V5E_PEAK_F32, 6),
+            "hbm_bw_frac": round(
+                (stats["device_bytes"] / t_large) / V5E_HBM_GBS, 4),
+        }
+
     print(json.dumps({
         "metric": f"avi_kkt_solves_per_sec_per_chip[{backend},batch={S},"
                   f"conv={conv:.2f}]",

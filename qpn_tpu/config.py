@@ -133,6 +133,13 @@ class NumericConfig:
     # CPU; BASELINE.md banded table).
     banded_auto: bool = os.environ.get("QPN_BANDED_AUTO", "1") != "0"
     banded_auto_min_n: int = 48
+    # Shared-matrix scenario ensembles (structure tag shared_M) route to the
+    # GEMM extragradient + f32-LU/f64-refinement solver (ops/shared_kkt)
+    # from this AVI dimension up: the Lemke tableau is (B, n, 3n+2) — at
+    # trajectory scale (n=608 at T=8) it stops fitting and its rank-1
+    # updates are HBM-bound, while the shared route's per-iteration work is
+    # (S, n)@(n, n) MXU GEMMs against ONE resident matrix.
+    shared_kkt_min_n: int = 192
     # per-backend block-count crossovers (dense factorization wins below)
     banded_min_blocks_tpu: int = 8
     banded_min_blocks_cpu: int = 64

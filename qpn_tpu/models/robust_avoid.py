@@ -203,6 +203,10 @@ def scenario_batch_gavis(num_scenarios: int = 64, T: int = 3,
     out = dict(M=Mt, q=qt, l=lt, u=ut, z0=zt, mask=mask)
     if total_xi == nd:
         # the reduced layout is exactly [x (nd); lambda (m); s (m)] - expose
-        # it so structured solvers (ops.avi.solve_kkt_avi_batch) can exploit it
-        out["structure"] = {"nd": nd, "m": (n - nd) // 2}
+        # it so structured solvers (ops.avi.solve_kkt_avi_batch) can exploit
+        # it.  shared_M: scenarios vary only (q, bounds) — M is one matrix
+        # replicated across lanes (the np.repeat above), which the
+        # shared-matrix GEMM route (ops.shared_kkt) exploits at trajectory
+        # scale where per-lane tableaus no longer fit
+        out["structure"] = {"nd": nd, "m": (n - nd) // 2, "shared_M": True}
     return out

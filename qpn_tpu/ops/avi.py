@@ -508,6 +508,11 @@ def solve_avi_batch_polish(M, q, l, u, z0, var_mask, tol=1e-10, max_iter=60):
         M_, q_, l_, u_, z_, vm, tol, max_iter))(M, q, l, u, z0, var_mask)
 
 
+def _shared_min_n():
+    from ..config import CONFIG
+    return CONFIG.shared_kkt_min_n
+
+
 def solve_kkt_avi_batch(M, q, l, u, var_mask, structure, tol=1e-10,
                         qp_dtype=None, method: str = "lemke"):
     """Structured solve for stacked-KKT AVIs.
@@ -539,6 +544,17 @@ def solve_kkt_avi_batch(M, q, l, u, var_mask, structure, tol=1e-10,
 def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
                               qp_dtype, method):
     B, n, _ = M.shape
+    if (method == "lemke" and structure.get("shared_M")
+            and n >= _shared_min_n()
+            and np.asarray(var_mask).all()
+            and (M[0] == M).all()):
+        # shared-matrix trajectory-scale ensembles: the GEMM EG +
+        # f32-LU/f64-refinement route (ops/shared_kkt) — the Lemke tableau
+        # no longer fits at this n and its pivots are bandwidth-bound
+        from .shared_kkt import solve_kkt_avi_shared
+        from ..utils.metrics import METRICS
+        METRICS.bump("kkt_shared_route", B)
+        return solve_kkt_avi_shared(M[0], q, l, u, None, tol=tol)
     if method == "lemke":
         # exact-shape call: scenario/KKT ensembles have one stable (B, n) per
         # model config, so bucket padding would only inflate the tableau

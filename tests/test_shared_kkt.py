@@ -1,0 +1,105 @@
+"""Shared-matrix scenario-ensemble solver (ops/shared_kkt.py).
+
+The robust_avoid scenario ensembles share one KKT matrix across lanes
+(models/robust_avoid.py scenario_batch_gavis); at trajectory scale the
+structured solve routes through GEMM extragradient + f32-LU/f64-refinement
+instead of per-lane Lemke tableaus.  These tests pin (a) exact agreement
+with the Lemke route at small n, (b) the escalation ladder on degenerate
+lanes, (c) the production routing gate, (d) the FLOP ledger contract.
+"""
+
+import numpy as np
+import pytest
+
+from qpn_tpu.models.robust_avoid import scenario_batch_gavis
+from qpn_tpu.ops.shared_kkt import solve_kkt_avi_shared
+
+
+@pytest.fixture(scope="module")
+def small_batch():
+    return scenario_batch_gavis(num_scenarios=24, T=2, num_obj=1,
+                                num_poly_faces=4, seed=0)
+
+
+class TestSharedRoute:
+    def test_matches_lemke_route(self, small_batch):
+        b = small_batch
+        from qpn_tpu.ops.avi import solve_kkt_avi_batch
+        stats = {}
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, stats=stats)
+        assert bool(np.asarray(res.converged).all())
+        ref = solve_kkt_avi_batch(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                  {k: v for k, v in b["structure"].items()
+                                   if k != "shared_M"}, tol=1e-8)
+        assert bool(np.asarray(ref.converged).all())
+        # both engines land the SAME complementary solution to ~f64 level
+        np.testing.assert_allclose(np.asarray(res.z), np.asarray(ref.z),
+                                   atol=1e-8)
+
+    def test_accepts_2d_and_3d_matrix(self, small_batch):
+        b = small_batch
+        r3 = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                  tol=1e-8)
+        r2 = solve_kkt_avi_shared(b["M"][0], b["q"], b["l"], b["u"],
+                                  b["mask"], tol=1e-8)
+        np.testing.assert_array_equal(np.asarray(r3.z), np.asarray(r2.z))
+
+    def test_rejects_padded_masks(self, small_batch):
+        b = small_batch
+        mask = np.asarray(b["mask"]).copy()
+        mask[0, -1] = False
+        with pytest.raises(ValueError, match="unpadded"):
+            solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], mask)
+
+    def test_stats_ledger(self, small_batch):
+        b = small_batch
+        stats = {}
+        solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                             tol=1e-8, stats=stats)
+        for key in ("eg_iters", "lu_factored", "refine_gemms",
+                    "host_solves", "device_flops", "device_bytes"):
+            assert key in stats
+        assert stats["device_flops"] > 0
+        assert stats["lu_factored"] >= 1
+
+    def test_degenerate_lanes_escalate_to_conv(self):
+        """T=8/num_obj=4 ensembles contain lanes whose EG classification is
+        singular (measured); the ladder (wider band -> host f64 lstsq ->
+        generic) must still certify every lane at 1e-8."""
+        b = scenario_batch_gavis(num_scenarios=16, T=8, num_obj=4,
+                                 num_poly_faces=4, seed=0)
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, eg_budget=30000)
+        assert bool(np.asarray(res.converged).all())
+        assert float(np.asarray(res.resid).max()) <= 1e-8
+
+
+class TestProductionRouting:
+    def test_structured_solve_routes_shared_at_scale(self):
+        """solve_kkt_avi_batch dispatches shared_M ensembles above
+        config.shared_kkt_min_n to the shared route (metrics counter), and
+        keeps small ensembles on the Lemke tableau route."""
+        from qpn_tpu.config import CONFIG
+        from qpn_tpu.ops.avi import solve_kkt_avi_batch
+        from qpn_tpu.utils.metrics import METRICS
+
+        small = scenario_batch_gavis(num_scenarios=8, T=2, num_obj=1,
+                                     num_poly_faces=4, seed=0)
+        n_small = small["M"].shape[1]
+        assert n_small < CONFIG.shared_kkt_min_n   # zoo configs stay Lemke
+        c0 = METRICS.counters.get("kkt_shared_route", 0)
+        res = solve_kkt_avi_batch(small["M"], small["q"], small["l"],
+                                  small["u"], small["mask"],
+                                  small["structure"], tol=1e-8)
+        assert METRICS.counters.get("kkt_shared_route", 0) == c0
+        assert bool(np.asarray(res.converged).all())
+
+        big = scenario_batch_gavis(num_scenarios=6, T=8, num_obj=4,
+                                   num_poly_faces=4, seed=1)
+        assert big["M"].shape[1] >= CONFIG.shared_kkt_min_n
+        assert big["structure"]["shared_M"]
+        res = solve_kkt_avi_batch(big["M"], big["q"], big["l"], big["u"],
+                                  big["mask"], big["structure"], tol=1e-8)
+        assert METRICS.counters.get("kkt_shared_route", 0) == c0 + 6
+        assert bool(np.asarray(res.converged).all())
