@@ -509,7 +509,17 @@ def _np_solution(sol, B, n, m):
     through the axon tunnel); slicing happens in numpy.  (Slicing the
     jax Arrays instead compiles a one-off jit(dynamic_slice) per distinct
     shape — measured at ~200 such micro-compiles per cold solve, the
-    dominant cold-start cost.)"""
+    dominant cold-start cost.)
+
+    Under multi-process SPMD the kernel outputs span processes and a plain
+    device_get is illegal — allgather the full batch instead (every process
+    needs the whole result: the host algorithm is replicated)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        sol = jax.tree.map(
+            lambda v: multihost_utils.process_allgather(v, tiled=True)
+            if isinstance(v, jax.Array) and not v.is_fully_addressable
+            else v, sol)
     sol = jax.device_get(sol)
     return QPSolution(x=np.asarray(sol.x)[:B, :n],
                       y=np.asarray(sol.y)[:B, :m],

@@ -35,15 +35,20 @@ import numpy as np
 
 
 class _Request:
-    __slots__ = ("kind", "args", "kw", "result", "error", "event")
+    __slots__ = ("kind", "args", "kw", "result", "error", "event", "order")
 
-    def __init__(self, kind, args, kw):
+    def __init__(self, kind, args, kw, order=(0, 0)):
         self.kind = kind
         self.args = args
         self.kw = kw
         self.result = None
         self.error = None
         self.event = threading.Event()
+        # (worker index, per-worker sequence number): canonical ordering so
+        # wave composition is independent of thread scheduling — required
+        # for SPMD multi-process runs, where every process must issue the
+        # SAME fused dispatches in the SAME order or the collectives deadlock
+        self.order = order
 
 
 class LockstepBroker:
@@ -60,7 +65,10 @@ class LockstepBroker:
 
     # ---- worker side -----------------------------------------------------
     def submit(self, kind: str, *args, **kw):
-        req = _Request(kind, args, kw)
+        widx = getattr(_BROKER_TLS, "worker", 0)
+        seq = getattr(_BROKER_TLS, "seq", 0)
+        _BROKER_TLS.seq = seq + 1
+        req = _Request(kind, args, kw, order=(widx, seq))
         with self._lock:
             self._pending.append(req)
             self._parked += 1
@@ -83,6 +91,11 @@ class LockstepBroker:
     # ---- dispatcher side -------------------------------------------------
     def _dispatch_wave(self, requests: Sequence[_Request]):
         from ..ops import avi, batch_qp
+        # canonical order (see _Request.order): grouping below uses dict
+        # insertion order, so sorting here makes both the group order and
+        # the lane order inside each fused batch deterministic across
+        # identical SPMD processes
+        requests = sorted(requests, key=lambda r: r.order)
         self.waves += 1
         sharding, min_batch = None, 1
         if self.mesh is not None:
@@ -135,12 +148,15 @@ class LockstepBroker:
                     r.error = e
                     r.event.set()
                 continue
+            import jax
+            # one host materialization of the fused result; in multi-process
+            # SPMD the outputs span processes, so fetch via allgather
+            from .sharded import _fetch_global
+            out = jax.tree.map(_fetch_global, out)
             ofs = 0
             for r in group:
                 b = np.asarray(r.args[0]).shape[0]
-                import jax
-                r.result = jax.tree.map(
-                    lambda v: np.asarray(v)[ofs:ofs + b], out)
+                r.result = jax.tree.map(lambda v: v[ofs:ofs + b], out)
                 ofs += b
                 r.event.set()
 
@@ -153,6 +169,8 @@ class LockstepBroker:
 
         def wrap(i, job):
             _BROKER_TLS.broker = self
+            _BROKER_TLS.worker = i
+            _BROKER_TLS.seq = 0
             try:
                 results[i] = job()
             except BaseException as e:          # noqa: BLE001

@@ -237,6 +237,16 @@ def equilibrium_superstep(mesh: Mesh, batch, tol=1e-8, max_iter=840):
     at_l = (jnp.abs(z - lq) < 1e-6)
     at_u = (jnp.abs(z - uq) < 1e-6)
     act = (at_l.astype(jnp.int32) + 2 * at_u.astype(jnp.int32))
-    keep = sharded_containment_prune(mesh, np.asarray(act),
-                                     np.asarray(res.resid))
+    keep = sharded_containment_prune(mesh, _fetch_global(act),
+                                     _fetch_global(res.resid))
     return dict(z=z, resid=res.resid, converged_frac=frac, keep=keep)
+
+
+def _fetch_global(a):
+    """Host copy of a possibly process-spanning array: plain np.asarray in
+    one process; a tiled process_allgather when the mesh spans processes
+    (fetching non-addressable shards directly is illegal)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
