@@ -72,11 +72,15 @@ _PREC = jax.lax.Precision.HIGHEST
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("steps",))
-def _eg_chunk(Mt, Q, L, U, Z, tau, steps):
+def _eg_chunk(Mt, Q, L, U, Z, tau, steps, band, prev_l, prev_u):
     """``steps`` extragradient iterations on the whole ensemble.
 
-    Mt = M.T as f32 (so lanes are rows: F = Z @ Mt + Q); returns the advanced
-    iterate and the per-lane natural residual ‖z − Π(z − F)‖∞."""
+    Mt = M.T as f32 (so lanes are rows: F = Z @ Mt + Q).  Returns the
+    advanced iterate, the per-lane natural residual ‖z − Π(z − F)‖∞, the
+    active-set classification from the natural map s = z − F (the terminal
+    solve's stopping signal), and how many labels changed vs the previous
+    chunk — all computed ON DEVICE so the driver's stability loop costs no
+    host GEMMs."""
 
     def body(_, Z):
         F = jnp.dot(Z, Mt, precision=_PREC) + Q
@@ -87,7 +91,11 @@ def _eg_chunk(Mt, Q, L, U, Z, tau, steps):
     Z = jax.lax.fori_loop(0, steps, body, Z)
     F = jnp.dot(Z, Mt, precision=_PREC) + Q
     r = jnp.max(jnp.abs(Z - jnp.clip(Z - F, L, U)), axis=1)
-    return Z, r
+    s = Z - F
+    at_l = jnp.isfinite(L) & (s <= L + band)
+    at_u = jnp.isfinite(U) & (s >= U - band) & ~at_l
+    changed = jnp.sum((at_l != prev_l) | (at_u != prev_u))
+    return Z, r, at_l, at_u, changed
 
 
 @functools.partial(jax.jit, static_argnames=("refines",))
@@ -161,10 +169,17 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     if var_mask is not None and not np.asarray(var_mask).all():
         raise ValueError("shared route requires an unpadded ensemble")
 
-    # EG step from a cheap two-sided Lipschitz bound: ‖M‖₂ ≤ √(‖M‖₁‖M‖∞)
-    norm1 = np.abs(M0).sum(axis=0).max()
-    norminf = np.abs(M0).sum(axis=1).max()
-    Lip = float(np.sqrt(norm1 * norminf))
+    # EG step from the true spectral norm (power iteration on M'M — ~30 n²
+    # host flops, negligible): the √(‖M‖₁‖M‖∞) bound overestimates σ_max on
+    # these KKT matrices by 2-3×, which costs the same factor in iterations
+    v = np.ones(n) / np.sqrt(n)
+    for _ in range(30):
+        w = M0.T @ (M0 @ v)
+        nw = np.linalg.norm(w)
+        if nw == 0.0:
+            break
+        v = w / nw
+    Lip = float(np.sqrt(max(np.linalg.norm(M0.T @ (M0 @ v)), 1e-24)))
     tau = np.float32(0.9 / max(Lip, 1e-12))
 
     f32 = np.float32
@@ -176,26 +191,25 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
 
     scale = 1.0 + float(np.abs(q).max())
     switch = max(tol, 1e-5 * scale)
+    band32 = np.float32(1e-4 * scale)
     eg_iters = 0
-    prev_cls = None
+    prev_l = jnp.zeros((S, n), dtype=bool)
+    prev_u = jnp.zeros((S, n), dtype=bool)
+    first = True
     while eg_iters < eg_budget:
-        Z, r = _eg_chunk(Mt32, Q32, L32, U32, Z, tau, eg_chunk)
+        Z, r, prev_l, prev_u, changed = _eg_chunk(
+            Mt32, Q32, L32, U32, Z, tau, eg_chunk, band32, prev_l, prev_u)
         eg_iters += eg_chunk
         r_host = np.asarray(r)
         _dbg(f"eg {eg_iters} iters, max resid {r_host.max():.3e} "
-             f"(switch {switch:.1e})")
+             f"(switch {switch:.1e}, labels changed {int(changed)})")
         if float(r_host.max()) < switch:
             break
         # active-set stability is the real stopping criterion: the terminal
         # solve only needs the right classification, not a tight residual
-        Zh = np.asarray(Z, dtype=np.float64)
-        Fh = Zh @ M0.T + q
-        cls = _classify(Zh, Fh, l64, u64, band=1e-4 * scale)
-        key = (np.packbits(cls[0], axis=1).tobytes(),
-               np.packbits(cls[1], axis=1).tobytes())
-        if prev_cls is not None and key == prev_cls:
+        if not first and int(changed) == 0:
             break
-        prev_cls = key
+        first = False
 
     Z64 = np.asarray(Z, dtype=np.float64)
     _, F64 = _nat_resid_shared(M0, q, l64, u64, Z64)
