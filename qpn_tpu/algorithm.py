@@ -260,8 +260,17 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
     act_work = act_mask.copy()
     certified = np.zeros(B, dtype=bool)
     lam_best = np.zeros((B, m_p))
+    # scale-aware pin: an absolute 1e12 penalty next to a large active Gram
+    # block eats the f64 Cholesky's significand and silently knocks the lane
+    # off the fast path (VERDICT r2 weak #8); 1e8 × the lane's own Gram
+    # scale keeps inactive λ ≈ rhs/pin ~ 1e-8 (zero at tol) with bounded
+    # dynamic range
+    gscale = jnp.maximum(1.0, jnp.max(jnp.abs(G0), axis=(1, 2)))
+    last_sign_ok = np.zeros(B, dtype=bool)
+    last_resid_ok = np.zeros(B, dtype=bool)
     for _round in range(3):
-        pin = jnp.where(jnp.asarray(act_work), 0.0, 1e12)
+        pin = jnp.where(jnp.asarray(act_work), 0.0,
+                        1e8 * gscale[:, None])
         lam_j = chol_solve(G0 + (1e-12 + pin)[:, :, None] * eye_m, rhs)
         lam_all = np.asarray(lam_j)
         resid_all = np.asarray(
@@ -270,6 +279,7 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
         bad_sign = single & act_work & (lam_all <= -tol)
         ok_signs_b = ~bad_sign.any(axis=1)
         ok_resid_b = np.abs(resid_all).max(axis=1) <= tol
+        last_sign_ok, last_resid_ok = ok_signs_b, ok_resid_b
         newly = ~certified & ok_signs_b & ok_resid_b
         lam_best[newly] = lam_all[newly]
         certified |= newly
@@ -279,6 +289,14 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
         act_work = act_work & ~(bad_sign & todo[:, None])
         if _round:
             METRICS.bump("verify_sign_refine_rounds")
+
+    # fallback-cause accounting (weak #8): a lane with clean signs but a
+    # stationarity residual above tol lost the fast path to conditioning /
+    # rank issues; persistent wrong signs mean no LSQ-certifiable dual
+    for i in range(B):
+        if results[i] is None and not certified[i]:
+            METRICS.bump("verify_fallback_resid" if last_sign_ok[i]
+                         else "verify_fallback_sign")
 
     for i, (A, l, u, q_t, dec_inds, feasible) in enumerate(prepared):
         if results[i] is not None:

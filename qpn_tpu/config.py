@@ -140,6 +140,11 @@ class NumericConfig:
     # updates are HBM-bound, while the shared route's per-iteration work is
     # (S, n)@(n, n) MXU GEMMs against ONE resident matrix.
     shared_kkt_min_n: int = 192
+    # Fail loudly instead of silently demoting to the XLA engine when the
+    # fused Pallas pivot kernel raises (tests set this; production keeps the
+    # warn-once + fallback so a Mosaic regression degrades throughput, not
+    # availability).
+    pallas_strict: bool = os.environ.get("QPN_PALLAS_STRICT", "") == "1"
     # per-backend block-count crossovers (dense factorization wins below)
     banded_min_blocks_tpu: int = 8
     banded_min_blocks_cpu: int = 64

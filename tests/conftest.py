@@ -15,6 +15,8 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+os.environ.setdefault("QPN_PALLAS_STRICT", "1")   # kernel failures fail tests
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
