@@ -271,9 +271,15 @@ def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
     # 0-dim exemplar shortcut only matters on the sampling fallback.
     V = get_verts_exhaustive(p, tol=tol)
     if V is not None:
+        R, L = [], []
+        from .rays import recession, recession_nontrivial
+        if recession_nontrivial(p):
+            rec = recession(p)
+            if rec is not None:
+                R, L = rec
         if not V and example[0] is not None:
             V = [np.asarray(example[0])]
-        return V, [], []
+        return V, R, L
 
     idim = setops.intrinsic_dim(p)
     if idim == 0:
@@ -298,13 +304,22 @@ def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
 
     V: List[np.ndarray] = []
     R: List[np.ndarray] = []
+    L: List[np.ndarray] = []
     seen = set()
+    unbounded_hit = False
     for k in range(B):
         if St[k] == batch_qp.DUAL_INFEASIBLE:
-            # unbounded along -dirs[k]: record the certificate direction
-            # (not an extreme ray — consumers only need unboundedness
-            # evidence, e.g. convex_hull's bounded-union guard)
-            R.append(-dirs[k])
+            if not unbounded_hit:
+                unbounded_hit = True
+                # exact extreme rays + lines of the recession cone
+                # (sets.jl:456-496 V-rep parity); certificate direction
+                # only if the combinatorial budget is exceeded
+                from .rays import recession
+                rec = recession(p)
+                if rec is not None:
+                    R, L = rec
+                else:
+                    R.append(-dirs[k])
             continue
         if St[k] not in (batch_qp.SOLVED, batch_qp.SOLVED_INACCURATE):
             continue
@@ -318,7 +333,7 @@ def get_verts(p: Poly, rng: np.random.Generator = None, num_samples: int = None,
             V.append(x)
     if not V and example[0] is not None:
         V = [np.asarray(example[0])]
-    return V, R, []
+    return V, R, L
 
 
 def _polish_vertex(p: Poly, x, tol):
@@ -348,21 +363,48 @@ def _polish_vertex(p: Poly, x, tol):
 def convex_hull(pu, tol: float = 1e-6) -> Poly:
     """Convex hull of a union via sampled vertices (sets.jl:977-1010).
 
-    Only valid for bounded unions; used by the optional ``try_hull`` path.
-    Boundedness is checked EXPLICITLY per member (±eᵢ support LPs): the
-    exhaustive vertex path reports vertices regardless of recession
-    directions, so relying on get_verts rays alone would let an unbounded
-    member silently produce a bogus bounded hull."""
-    all_verts = []
+    Bounded unions: facet enumeration / polar duality on the vertex cloud.
+    Unbounded members contribute their EXACT recession rays/lines
+    (geometry.rays.recession) and the hull is rebuilt from points + rays by
+    homogenized dual-cone enumeration — the cdd doubledescription role
+    (sets.jl:439-496) fully replaced.  Boundedness is checked EXPLICITLY
+    per member (±eᵢ support LPs): the exhaustive vertex path reports
+    vertices regardless of recession directions, so relying on get_verts
+    rays alone would let an unbounded member slip through as bounded."""
+    from .rays import hull_of_points_and_rays, recession
+    all_verts, all_rays, all_lines = [], [], []
     for p in pu:
         dirs = np.vstack([np.eye(p.dim), -np.eye(p.dim)])
         vals, _ = setops.support_batch([p] * dirs.shape[0], list(dirs))
         if not np.all(np.isfinite(np.asarray(vals))):
-            raise RuntimeError("convex_hull of unbounded union not supported")
+            rec = recession(p)
+            if rec is None:
+                raise RuntimeError(
+                    "convex_hull: recession-ray budget exceeded for "
+                    "unbounded member")
+            all_rays.extend(rec[0])
+            all_lines.extend(rec[1])
+            if rec[1]:
+                # vertex-free member (lineality): the minimal generators
+                # are the vertices of p ∩ L⊥ — pin each line direction so
+                # the reduced member is pointed, then enumerate those
+                Lmat = np.array(rec[1])
+                A2 = np.vstack([p.A, Lmat])
+                _, ex = setops.exemplar_batch([p])
+                x_ref = (np.asarray(ex[0]) if ex[0] is not None
+                         else np.zeros(p.dim))
+                lv = Lmat @ x_ref
+                p = Poly(A2, np.concatenate([p.l, lv]),
+                         np.concatenate([p.u, lv]))
         V, R, L = get_verts(p)
-        if R or L:
-            raise RuntimeError("convex_hull of unbounded union not supported")
+        all_rays.extend(R)
+        all_lines.extend(L)
         all_verts.extend(V)
+    if all_rays or all_lines:
+        return hull_of_points_and_rays(
+            np.array(all_verts),
+            np.array(all_rays) if all_rays else None,
+            np.array(all_lines) if all_lines else None, tol)
     return hull_of_points(np.array(all_verts), tol)
 
 

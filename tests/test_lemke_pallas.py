@@ -135,6 +135,9 @@ def test_xla_fallback_on_pallas_failure(monkeypatch):
     import qpn_tpu.ops.lemke_pallas as lp
     monkeypatch.setattr(lp, "solve_lemke_batch_state_pallas", boom)
     monkeypatch.setattr(lemke_mod, "_PALLAS_FAILED", set())
+    # this test exercises the PRODUCTION fallback; the suite-wide strict
+    # mode (conftest) would turn the simulated failure into a raise
+    monkeypatch.setattr(CONFIG, "pallas_strict", False)
     old = CONFIG.lemke_kernel
     rng = np.random.default_rng(0)
     n = 6
