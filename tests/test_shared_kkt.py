@@ -103,3 +103,29 @@ class TestProductionRouting:
                                   big["mask"], big["structure"], tol=1e-8)
         assert METRICS.counters.get("kkt_shared_route", 0) == c0 + 6
         assert bool(np.asarray(res.converged).all())
+
+
+class TestPropertyRandomSharedEnsembles:
+    def test_random_strongly_monotone_matches_generic(self, rng):
+        """Random shared-M ensembles (PSD + skew + δI → unique solution):
+        the shared route and the generic adaptive solver must land the same
+        point at 1e-8, including lanes with infinite bounds."""
+        from qpn_tpu.ops.avi import solve_avi_batch_adaptive
+        n, S = 24, 16
+        A = rng.standard_normal((n, n))
+        K = rng.standard_normal((n, n))
+        M0 = A @ A.T / n + (K - K.T) / np.sqrt(n) + 0.1 * np.eye(n)
+        q = rng.standard_normal((S, n))
+        l = np.where(rng.random((S, n)) < 0.3, -np.inf,
+                     -1.0 - rng.random((S, n)))
+        u = np.where(rng.random((S, n)) < 0.3, np.inf,
+                     1.0 + rng.random((S, n)))
+        res = solve_kkt_avi_shared(M0, q, l, u, None, tol=1e-8)
+        assert bool(np.asarray(res.converged).all())
+        Mrep = np.repeat(M0[None], S, axis=0)
+        ref = solve_avi_batch_adaptive(Mrep, q, l, u, np.zeros((S, n)),
+                                       np.ones((S, n), bool), tol=1e-8)
+        ok = np.asarray(ref.converged)
+        assert ok.all()
+        np.testing.assert_allclose(np.asarray(res.z), np.asarray(ref.z),
+                                   atol=1e-6)
