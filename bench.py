@@ -8,9 +8,20 @@ vs_baseline = speedup vs solving the same systems one-at-a-time sequentially
               on the same device — the stand-in for the reference's
               single-threaded PATH loop (the reference publishes no numbers;
               BASELINE.md documents this).
+
+Crash containment (BENCH_r03 postmortem): round 3's run kernel-faulted the
+TPU worker in the new "large" row AFTER the flagship row had been measured,
+and because the JSON printed only at the very end, the whole round recorded
+no number.  The bench is now an ORCHESTRATOR: each row runs in its own
+subprocess (``--row=flagship`` / ``--row=large``) that initializes the
+device, measures, prints its JSON fragment, and exits — a device fault in
+any row degrades to an ``{"error": ...}`` field instead of data loss.  Rows
+run sequentially (the axon chip claim hands off between cleanly-exited
+processes in <1s; measured).
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -23,10 +34,12 @@ _PROBE = ("import jax; d = jax.devices()[0]; "
           "print(d.platform)")
 
 
-def _accelerator_usable(timeout_s: float = 120.0) -> bool:
+def _accelerator_usable(timeout_s: float = 300.0) -> bool:
     """True iff jax backend init + one tiny dispatch completes in a killable
     subprocess.  A wedged axon tunnel hangs (never errors), so the probe must
-    be out-of-process — an in-process hang would take the bench down with it."""
+    be out-of-process — an in-process hang would take the bench down with it.
+    (Claim handoff after an abnormally-killed process takes minutes —
+    measured — so the timeout is generous.)"""
     try:
         out = subprocess.run([sys.executable, "-c", _PROBE],
                              capture_output=True, timeout=timeout_s)
@@ -35,35 +48,65 @@ def _accelerator_usable(timeout_s: float = 120.0) -> bool:
         return False
 
 
-def main():
-    import os
-    import jax
+def _run_row(row: str, timeout_s: float, extra_env=None):
+    """Run one bench row in a killable subprocess; return (dict|None, meta).
 
+    The row prints its result as the LAST stdout line (a JSON object).  On
+    any failure the returned meta captures rc and the tail of stderr,
+    including the terminal device/XLA error text (ADVICE r3: BENCH_r03's
+    tail truncated before the root-cause line)."""
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), f"--row={row}"],
+            capture_output=True, timeout=timeout_s, env=env, text=True)
+    except subprocess.TimeoutExpired as e:
+        tail = ((e.stderr or b"").decode(errors="replace")
+                if isinstance(e.stderr, bytes) else (e.stderr or ""))
+        return None, {"error": f"timeout after {timeout_s:.0f}s",
+                      "stderr_tail": tail[-2000:]}
+    except OSError as e:  # pragma: no cover
+        return None, {"error": f"spawn failed: {e}"}
+    last = ""
+    for line in out.stdout.strip().splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            last = line
+    if out.returncode == 0 and last:
+        try:
+            return json.loads(last), {}
+        except json.JSONDecodeError:
+            pass
+    return None, {"error": f"row '{row}' exited rc={out.returncode}",
+                  "stderr_tail": out.stderr[-4000:]}
+
+
+# --------------------------------------------------------------------------
+#  Row workers (each runs in its own process)
+# --------------------------------------------------------------------------
+
+def _init_backend():
+    import jax
     if os.environ.get("QPN_BENCH_CPU"):     # debug/CI runs off-chip
         jax.config.update("jax_platforms", "cpu")
-    elif not _accelerator_usable():
-        # The TPU platform is absent or wedged (this image's axon tunnel can
-        # hang forever on stale chip claims — a hang, not an error, so probe
-        # it in a killable subprocess before touching jax.devices() here).
-        print("bench: accelerator probe failed; falling back to CPU",
-              file=sys.stderr)
-        jax.config.update("jax_platforms", "cpu")
     backend = jax.devices()[0].platform
-    import jax.numpy as jnp
-
-    # This is a controlled same-device comparison: the production
-    # small-dispatch CPU routing (config.small_qp_on_cpu) would silently
-    # move the B=1 sequential-baseline lane off-chip, so pin it off here.
     from qpn_tpu.config import CONFIG
+    # controlled same-device comparison: the production small-dispatch CPU
+    # routing would silently move the B=1 sequential-baseline lane off-chip
     CONFIG.small_qp_on_cpu = False
+    return backend
 
+
+def row_flagship():
+    """256-lane robust_avoid certificate ensemble through the production
+    structured route (batched Lemke pivoting + f64 refactorization)."""
+    backend = _init_backend()
+    import functools
+    import jax
     from qpn_tpu.models.robust_avoid import scenario_batch_gavis
     from qpn_tpu.ops.avi import solve_avi_batch_adaptive, solve_kkt_avi_batch
-    import functools
-    # production path: the scenario ensemble is a stacked QP-KKT system, so
-    # the structured route (batched ADMM QP + dual reconstruction + f64
-    # Newton polish, AVI-residual-audited) is used when the structure tag is
-    # present; the generic adaptive hybrid solver covers everything else
     solve_avi_batch_generic = functools.partial(
         solve_avi_batch_adaptive, mixed=(backend == "tpu"),
         onchip_eg_steps=20000 if backend == "tpu" else 0)
@@ -115,75 +158,121 @@ def main():
         _ = np.asarray(r1.z)
         seq_times.append(time.perf_counter() - t0)
     t_seq = float(np.median(seq_times))
-    seq_throughput = 1.0 / t_seq
 
-    # ---- MFU / roofline accounting --------------------------------------
-    # Analytic flop count of the work actually executed (ADMM iterations per
-    # lane as reported by the solver; the Newton polish tail is excluded, so
-    # this is a slight lower bound on useful flops).  f64 has no native MXU
-    # rate — emulated f64 work is reported against the f32 peak, which makes
-    # the MFU figure conservative.  These small dense solves are latency/
-    # bandwidth bound; the hbm fraction shows the binding roofline.
+    out = {
+        "backend": backend,
+        "batch": S,
+        "conv": round(conv, 4),
+        "solves_per_sec": round(throughput, 2),
+        "vs_sequential": round(throughput * t_seq, 2),
+    }
+
+    # MFU / roofline accounting: analytic flop count of the work actually
+    # executed (structured route = batched Lemke pivoting; iters are pivot
+    # counts, each touching the (n, 3n+2) tableau once).  These small f64
+    # solves are latency-bound; the hbm fraction shows the binding roofline.
     from qpn_tpu.utils.flops import (V5E_HBM_GBS, V5E_PEAK_F32, lemke_flops)
-    extra = {}
     if structure is not None:
-        # structured route = batched Lemke pivoting: iters are pivot counts,
-        # each pivot touches the (n, 3n+2) tableau once
         n_avi = M.shape[1]
         it = np.asarray(res.iters, dtype=np.float64)
         fl = lemke_flops(n_avi, it)
         by = 8.0 * float(np.sum(it)) * n_avi * (3 * n_avi + 2) * 2
         achieved = fl / t_batch
-        extra = {
+        out.update({
             "achieved_gflops": round(achieved / 1e9, 2),
             "mfu_vs_f32_peak": round(achieved / V5E_PEAK_F32, 6),
             "hbm_bw_frac": round((by / t_batch) / V5E_HBM_GBS, 4),
-        }
+        })
+    print(json.dumps(out))
 
-    # ---- large-config row: arithmetic-bound regime (VERDICT r2 item 2) --
-    # T=8 trajectory horizon, num_obj=4, S=1024 scenarios sharing one KKT
-    # matrix (n=608): solved by the shared-matrix GEMM route
-    # (ops/shared_kkt) whose per-iteration work is (S,n)@(n,n) MXU matmuls
-    # plus batched f32 LU factorizations — the regime where MFU, not
-    # dispatch latency, is the binding roofline.  TPU-only: the CPU
-    # fallback backend has no MXU and the row would measure the wrong
-    # machine.
-    if backend != "cpu":
-        from qpn_tpu.ops.shared_kkt import solve_kkt_avi_shared
-        Sl = 1024
-        big = scenario_batch_gavis(num_scenarios=Sl, T=8, num_obj=4,
-                                   num_poly_faces=4, seed=0)
+
+def row_large():
+    """Arithmetic-bound regime (VERDICT r2 item 2): T=8 trajectory horizon,
+    num_obj=4, S=1024 scenarios sharing one KKT matrix (n=608), solved by
+    the shared-matrix GEMM route (ops/shared_kkt) whose per-iteration work
+    is (S,n)@(n,n) MXU matmuls plus batched f32 LU factorizations — the
+    regime where MFU, not dispatch latency, is the binding roofline."""
+    backend = _init_backend()
+    from qpn_tpu.models.robust_avoid import scenario_batch_gavis
+    from qpn_tpu.ops.shared_kkt import solve_kkt_avi_shared
+    from qpn_tpu.utils.flops import V5E_HBM_GBS, V5E_PEAK_F32
+    Sl = 1024
+    big = scenario_batch_gavis(num_scenarios=Sl, T=8, num_obj=4,
+                               num_poly_faces=4, seed=0)
+    stats = {}
+    r = solve_kkt_avi_shared(big["M"][0], big["q"], big["l"], big["u"],
+                             None, tol=1e-8, stats=stats)   # warm/compile
+    tl = []
+    for _ in range(3):
         stats = {}
-        r = solve_kkt_avi_shared(big["M"][0], big["q"], big["l"], big["u"],
-                                 None, tol=1e-8, stats=stats)   # warm/compile
-        tl = []
-        for _ in range(3):
-            stats = {}
-            t0 = time.perf_counter()
-            r = solve_kkt_avi_shared(big["M"][0], big["q"], big["l"],
-                                     big["u"], None, tol=1e-8, stats=stats)
-            tl.append(time.perf_counter() - t0)
-        t_large = min(tl)
-        conv_l = float(np.asarray(r.converged).mean())
-        achieved_l = stats["device_flops"] / t_large
-        extra["large"] = {
-            "config": f"robust_avoid T=8 num_obj=4 S={Sl} n={big['M'].shape[1]}",
-            "solves_per_sec": round(Sl / t_large, 2),
-            "conv": round(conv_l, 4),
-            "achieved_gflops": round(achieved_l / 1e9, 2),
-            "mfu_vs_f32_peak": round(achieved_l / V5E_PEAK_F32, 6),
-            "hbm_bw_frac": round(
-                (stats["device_bytes"] / t_large) / V5E_HBM_GBS, 4),
-        }
-
+        t0 = time.perf_counter()
+        r = solve_kkt_avi_shared(big["M"][0], big["q"], big["l"],
+                                 big["u"], None, tol=1e-8, stats=stats)
+        tl.append(time.perf_counter() - t0)
+    t_large = min(tl)
+    conv_l = float(np.asarray(r.converged).mean())
+    achieved_l = stats["device_flops"] / t_large
     print(json.dumps({
-        "metric": f"avi_kkt_solves_per_sec_per_chip[{backend},batch={S},"
-                  f"conv={conv:.2f}]",
-        "value": round(throughput, 2),
-        "unit": "solves/s",
-        "vs_baseline": round(throughput / seq_throughput, 2),
-        **extra,
+        "config": f"robust_avoid T=8 num_obj=4 S={Sl} n={big['M'].shape[1]}",
+        "backend": backend,
+        "solves_per_sec": round(Sl / t_large, 2),
+        "conv": round(conv_l, 4),
+        "achieved_gflops": round(achieved_l / 1e9, 2),
+        "mfu_vs_f32_peak": round(achieved_l / V5E_PEAK_F32, 6),
+        "hbm_bw_frac": round(
+            (stats["device_bytes"] / t_large) / V5E_HBM_GBS, 4),
+        "eg_iters": stats.get("eg_iters"),
+        "host_solves": stats.get("host_solves"),
     }))
+
+
+def main():
+    for a in sys.argv[1:]:
+        if a.startswith("--row="):
+            {"flagship": row_flagship, "large": row_large}[a[6:]]()
+            return
+
+    on_cpu = bool(os.environ.get("QPN_BENCH_CPU")) or not _accelerator_usable()
+    env = {"QPN_BENCH_CPU": "1"} if on_cpu else None
+    if on_cpu and not os.environ.get("QPN_BENCH_CPU"):
+        print("bench: accelerator probe failed; falling back to CPU",
+              file=sys.stderr)
+
+    # flagship row FIRST and isolated: its number can no longer be lost to a
+    # later row's device fault (the BENCH_r03 failure mode)
+    flag_timeout = float(os.environ.get("QPN_BENCH_ROW_TIMEOUT", 2400))
+    flag, flag_meta = _run_row("flagship", flag_timeout, env)
+
+    extra = {}
+    if flag is None:
+        # degraded mode: report the failure but still emit valid JSON
+        record = {
+            "metric": "avi_kkt_solves_per_sec_per_chip[failed]",
+            "value": 0.0, "unit": "solves/s", "vs_baseline": 0.0,
+            "flagship_error": flag_meta,
+        }
+    else:
+        record = {
+            "metric": (f"avi_kkt_solves_per_sec_per_chip"
+                       f"[{flag['backend']},batch={flag['batch']},"
+                       f"conv={flag['conv']:.2f}]"),
+            "value": flag["solves_per_sec"],
+            "unit": "solves/s",
+            "vs_baseline": flag["vs_sequential"],
+        }
+        for k in ("achieved_gflops", "mfu_vs_f32_peak", "hbm_bw_frac"):
+            if k in flag:
+                extra[k] = flag[k]
+
+    # large row: TPU-only (the CPU fallback backend has no MXU and the row
+    # would measure the wrong machine); a fault here is REPORTED, not fatal
+    if not on_cpu:
+        large_timeout = float(os.environ.get("QPN_BENCH_LARGE_TIMEOUT", 3000))
+        large, large_meta = _run_row("large", large_timeout, env)
+        extra["large"] = large if large is not None else large_meta
+
+    record.update(extra)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -554,7 +554,8 @@ def _solve_kkt_avi_batch_impl(M, q, l, u, var_mask, structure, tol,
         from .shared_kkt import solve_kkt_avi_shared
         from ..utils.metrics import METRICS
         METRICS.bump("kkt_shared_route", B)
-        return solve_kkt_avi_shared(M[0], q, l, u, None, tol=tol)
+        return solve_kkt_avi_shared(M[0], q, l, u, None, tol=tol,
+                                    structure=structure)
     if method == "lemke":
         # exact-shape call: scenario/KKT ensembles have one stable (B, n) per
         # model config, so bucket padding would only inflate the tableau

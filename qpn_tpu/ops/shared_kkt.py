@@ -19,21 +19,29 @@ This module instead treats the ensemble as ONE matrix problem:
    instead of the per-lane matvecs of the generic solver that stream S copies
    of M from HBM.  The pre-pass does not need a tight residual — only a
    stable active set.
-2. **Active-set extraction** from the natural map: ``s = z − (Mz+q)``;
-   rows with ``s ≤ l`` are at the lower bound, ``s ≥ u`` at the upper, the
-   rest free (the projection argument makes this the consistent primal/dual
-   classification).
-3. **Terminal basis solve on device, f32 LU + f64 iterative refinement**:
-   each lane's complementary-basis system (free rows of M, identity rows for
-   bound variables) is factored once in f32 on the MXU and refined against
-   the ORIGINAL f64 data — residuals computed as one shared-M f64 host GEMM —
-   so machine-precision solutions come out of f32 factorizations (classic
-   mixed-precision refinement; the same pattern round 2 used for the Lemke
-   terminal basis, now batched on-chip).
-4. **f64 natural-residual audit** gates every lane; failing lanes retry with
-   a flipped classification band, then an exact host f64 solve, then the
-   generic adaptive solver — the output contract matches
-   ``solve_kkt_avi_batch`` exactly (audited z, conv flags).
+2. **Active-set Newton fixpoint rounds** (Josephy-Newton on the natural map,
+   the nonsmooth-Newton core of the reference's PATH): classify each lane's
+   rows from the natural map ``s = z − (Mz+q)`` (``s ≤ l`` at the lower
+   bound, ``s ≥ u`` upper, rest free), solve the complementary-basis linear
+   system, re-classify from the solution, repeat.  Each round's basis solve
+   is ONE fused device dispatch per lane chunk: f32 LU factorization of the
+   per-lane basis matrices (materialized on device from the one shared M),
+   f32 triangular solves, then **on-device f64 iterative refinement against
+   the original data** and an on-device f64 natural-residual audit — the
+   host ships masks and vectors and gets back audited f64 solutions, with no
+   per-pass host↔device GEMM ping-pong (round 3's refinement round-tripped
+   residuals through host numpy per pass; over the axon tunnel that ate the
+   GEMM win).
+3. **Host f64 exact solve** (stacked LAPACK) for lanes whose f32
+   factorization cannot be refined (ill-conditioned bases).
+4. **Generic adaptive escalation pinned to the host CPU backend** for
+   whatever remains: scenario stragglers here are genuinely hard lanes, and
+   the generic hybrid-Newton kernel at trajectory scale (n≥600) is exactly
+   what kernel-faulted the TPU worker in round 3 (BENCH_r03 rc=1) — so the
+   escalation rung stays, but its kernels are explicitly placed on the local
+   CPU devices, never the accelerator.  Same policy as the small-dispatch
+   glue (config.small_dispatch_device); a straggler lane degrades to host
+   speed instead of taking down the chip.
 
 The analytic FLOP ledger of steps 1–3 is returned through ``stats`` so the
 bench can report achieved FLOP/s and MFU against the f32 MXU peak.
@@ -99,37 +107,66 @@ def _eg_chunk(Mt, Q, L, U, Z, tau, steps, band, prev_l, prev_u):
 
 
 @functools.partial(jax.jit, static_argnames=("refines",))
-def _basis_solve(M32, free, bval, Qq, refines):
-    """Per-lane complementary-basis solve with f32 LU + refinement.
+def _basis_solve_refine(M32, M64, free, bval, q64, l64, u64, delta, zref,
+                        refines):
+    """Per-lane proximal complementary-basis solve: f32 LU + on-device f64
+    iterative refinement.
+
+    Solves each lane's complementary-basis system for the PROXIMAL problem
+    ``(M + δI) z + (q − δ z_ref) ⟂ l ≤ z ≤ u`` — free rows from M + δ·I,
+    bound rows identity.  δ is per-lane: 0 for well-conditioned lanes (the
+    raw Newton/policy step), positive for lanes whose raw basis factorization
+    is singular (degenerate active sets) — M + δI is strongly monotone, so
+    EVERY principal basis matrix is nonsingular, and shrinking δ with
+    ``z_ref`` re-centered at the incumbent is the proximal-point iteration
+    (converges for monotone M; at the fixed point the prox solution equals
+    the true solution for any δ).
 
     The (C, n, n) basis matrices are materialized ON DEVICE from the one
-    shared (n, n) matrix — free rows from M, bound rows identity — so the
-    host ships only masks and vectors, never O(C·n²) tensors (through the
-    axon tunnel that transfer would dominate the whole solve).  Refinement
-    residuals here are against the f32 data (the f64 outer refinement happens
-    on host against the original data); a couple of inner passes mop up LU
-    rounding so the host pass usually needs one iteration.
+    shared (n, n) matrix, so the host ships only masks and vectors, never
+    O(C·n²) tensors (through the axon tunnel that transfer would dominate
+    the whole solve).  Iterative refinement runs entirely on device:
+    residuals are f64 GEMMs against the ORIGINAL f64 data (f64 is
+    VPU-emulated on TPU — a few (C,n)@(n,n) passes, negligible next to the
+    factorization), corrections reuse the f32 LU factors; non-finite
+    corrections are skipped per-lane so one singular basis can't poison its
+    chunk.  Returns the refined f64 solution, the ORIGINAL natural map value
+    F = Mz+q (the next policy round classifies from it), and the f64
+    natural residual of the ORIGINAL problem per lane.
     """
     n = M32.shape[0]
-    A = jnp.where(free[:, :, None], M32[None], jnp.eye(n, dtype=M32.dtype))
-    rhs0 = jnp.where(free, -Qq, bval)
-    negMt = -M32.T
+    eye32 = jnp.eye(n, dtype=M32.dtype)
+    d32 = delta.astype(M32.dtype)
+    Ad = M32[None] + d32[:, None, None] * eye32
+    A = jnp.where(free[:, :, None], Ad, eye32)
+    q_eff = q64 - delta[:, None] * zref
+    rhs0 = jnp.where(free, -q_eff, bval).astype(M32.dtype)
     lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(A)
-    z = jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv), rhs0)
+    z32 = jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv), rhs0)
+    z = z32.astype(jnp.float64)
+    Mt64 = M64.T
 
     def refine(_, z):
-        Fz = jnp.dot(z, negMt, precision=_PREC) - Qq     # −(Mz+q) per lane
-        r = jnp.where(free, Fz, bval - z)
-        dz = jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv), r)
-        return z + dz
+        Fp = (jnp.dot(z, Mt64, precision=_PREC) + q_eff
+              + delta[:, None] * z)
+        r = jnp.where(free, -Fp, bval - z)
+        dz = jax.vmap(jax.scipy.linalg.lu_solve)(
+            (lu, piv), r.astype(M32.dtype)).astype(jnp.float64)
+        good = jnp.isfinite(dz).all(axis=1)
+        return jnp.where(good[:, None], z + dz, z)
 
     z = jax.lax.fori_loop(0, refines, refine, z)
-    return z, (lu, piv)
-
-
-@jax.jit
-def _refine_step(lu, piv, r):
-    return jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv), r)
+    # f64 natural-residual audits on device — of the ORIGINAL problem (the
+    # acceptance gate) and of the PROX subproblem (the inner policy
+    # iteration's own convergence signal); non-finite z maps to +inf
+    F = jnp.dot(z, Mt64, precision=_PREC) + q64
+    finite = jnp.isfinite(z).all(axis=1)
+    rn = jnp.max(jnp.abs(z - jnp.clip(z - F, l64, u64)), axis=1)
+    rn = jnp.where(finite, rn, jnp.inf)
+    Fp = F + delta[:, None] * (z - zref)
+    rp = jnp.max(jnp.abs(z - jnp.clip(z - Fp, l64, u64)), axis=1)
+    rp = jnp.where(finite, rp, jnp.inf)
+    return z, F, rn, rp
 
 
 def _classify(Z, F, l, u, band):
@@ -147,10 +184,51 @@ def _nat_resid_shared(M0, q, l, u, Z):
     return np.abs(Z - proj).max(axis=1), F
 
 
+def _escalation_device():
+    """Device the generic escalation rung runs on: ALWAYS a host CPU device
+    when the default backend is an accelerator.
+
+    The generic hybrid-Newton kernel at trajectory scale (n≥600) is what
+    kernel-faulted the TPU worker in round 3 (BENCH_r03 rc=1) — so the
+    escalation rung stays, but its kernels are explicitly placed on the local
+    CPU devices, never the accelerator: a straggler lane degrades to host
+    speed instead of taking down the chip.  (jax CPU devices coexist with the
+    accelerator in every process; same placement policy as
+    config.small_dispatch_device.)  Returns None when already on CPU.
+    """
+    if jax.default_backend() == "cpu":
+        return None
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def _escalate_generic(M0, q, l, u, z0, tol):
+    """Generic adaptive escalation for shared-route straggler lanes, pinned
+    off-accelerator (see :func:`_escalation_device`).  Returns
+    (z, converged_mask, per-lane iters)."""
+    import contextlib
+    from .avi import solve_avi_batch_adaptive
+    B, n = q.shape
+    Mrep = np.repeat(M0[None], B, axis=0)
+    dev = _escalation_device()
+    ctx = jax.default_device(dev) if dev is not None else (
+        contextlib.nullcontext())
+    with ctx:
+        res = solve_avi_batch_adaptive(
+            Mrep, q, l, u, z0, np.ones((B, n), dtype=bool), tol=tol)
+    zg = np.asarray(res.z)
+    rg = np.asarray(res.resid)
+    ok = np.asarray(res.converged) & np.isfinite(rg)
+    return zg, ok, np.asarray(res.iters, dtype=np.int64)
+
+
 def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
                          eg_budget: int = 60000, eg_chunk: int = 2000,
-                         lane_chunk: int = 512, stats: Optional[dict] = None
-                         ) -> AVIResult:
+                         lane_chunk: int = 512, newton_rounds: int = 40,
+                         structure: Optional[dict] = None,
+                         stats: Optional[dict] = None) -> AVIResult:
     """Solve a shared-matrix AVI ensemble ``M z + q ⟂ l ≤ z ≤ u``.
 
     ``M`` may be (n, n) or (S, n, n) with identical lanes (caller asserts);
@@ -184,6 +262,8 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
 
     f32 = np.float32
     Mt32 = jnp.asarray(M0.T, dtype=f32)
+    M32_d = jnp.asarray(M0, dtype=f32)
+    M64_d = jnp.asarray(M0, dtype=np.float64)
     Q32 = jnp.asarray(q, dtype=f32)
     L32 = jnp.asarray(l64, dtype=f32)
     U32 = jnp.asarray(u64, dtype=f32)
@@ -216,117 +296,218 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
 
     z_out = Z64.copy()
     done = np.zeros(S, dtype=bool)
+    iters_out = np.full(S, eg_iters, dtype=np.int64)
     lu_factored = 0
     refine_gemms = 0
     host_solves = 0
+    REFINES = 3
 
     # finite stand-ins for ±inf bounds in bval (never selected: an infinite
     # bound can't be active)
     l_fin = np.where(np.isfinite(l64), l64, 0.0)
     u_fin = np.where(np.isfinite(u64), u64, 0.0)
 
+    # Active-set Newton fixpoint (LCP policy iteration / Josephy-Newton —
+    # the nonsmooth-Newton core of PATH), wrapped in a proximal-point outer
+    # loop for the degenerate lanes these LP-KKT ensembles produce (M is
+    # skew and rank-deficient — measured rank 512/608 at T=8 — so raw
+    # complementary bases are frequently singular):
+    #
+    #   fast path (δ=0): classify → basis solve → adopt → reclassify.  The
+    #     EG start classifies with a loose band (its iterate is only
+    #     ~switch-accurate); basis solutions classify with a ~zero band
+    #     (their free rows satisfy F=0 exactly, so the sign split IS the
+    #     policy-iteration update).
+    #   degenerate ladder (δ>0): on a singular factorization or a cycling
+    #     classification, the lane gets a proximal δ — M+δI is strongly
+    #     monotone, so every basis is nonsingular and the INNER policy
+    #     iteration on the prox subproblem (δ, z_ref fixed) is well-posed;
+    #     once the prox subproblem's own natural residual rp meets tol, the
+    #     lane RECENTERS z_ref at the prox solution (the proximal-point
+    #     outer step, convergent for monotone F) and shrinks δ.  At the
+    #     fixed point the prox solution solves the original problem exactly,
+    #     which the original-residual audit rn certifies.
+    Zc, Fc = Z64.copy(), F64.copy()
+    band_lane = np.full(S, 1e-4 * scale)
+    delta_lane = np.zeros(S)
+    zref = Z64.copy()
+    delta0 = 1e-5 * max(Lip, 1.0)       # f32-visible relative to ‖M‖
+    delta_min = 1e-6 * max(Lip, 1.0)
+    seen_cls: list[set] = [set() for _ in range(S)]
+    active = np.ones(S, dtype=bool)     # lanes still in the Newton loop
+    rung = np.zeros(S, dtype=np.int64)
+    # escalation ladder per lane: wide-band retry first (a boundary row
+    # misread from the ~switch-accurate EG point is the common failure, and
+    # reclassifying the SAME point with a wider band fixes it — the round-3
+    # two-band behavior), then the proximal δ ladder
+    _LADDER = ((1e-2, 0.0), (1e-4, 1.0), (1e-4, 30.0), (1e-3, 900.0))
+
+    def _bump_rung(lane):
+        rung[lane] += 1
+        if rung[lane] > len(_LADDER):
+            active[lane] = False
+            return
+        band_rel, dmul = _LADDER[rung[lane] - 1]
+        band_lane[lane] = band_rel * scale
+        delta_lane[lane] = dmul * delta0
+        zref[lane] = Zc[lane]
+        seen_cls[lane].clear()
+
+    for rd in range(newton_rounds):
+        todo = np.flatnonzero(~done & active)
+        if todo.size == 0:
+            break
+        # classify from the PROX natural map s = z − (F + δ(z − z_ref));
+        # for δ=0 lanes this is the original map
+        Fp = Fc[todo] + delta_lane[todo, None] * (Zc[todo] - zref[todo])
+        at_l, at_u = _classify(Zc[todo], Fp, l64[todo], u64[todo],
+                               band_lane[todo, None])
+        free = ~(at_l | at_u)
+        bval = np.where(at_l, l_fin[todo], u_fin[todo])
+        # cycling inside one (δ, z_ref) context: escalate the ladder
+        fresh = np.ones(todo.size, dtype=bool)
+        for k, lane in enumerate(todo):
+            fp = hash((at_l[k].tobytes(), at_u[k].tobytes()))
+            if fp in seen_cls[lane]:
+                fresh[k] = False
+                _bump_rung(lane)
+            else:
+                seen_cls[lane].add(fp)
+        todo = todo[fresh]
+        if todo.size == 0:
+            continue
+        free, bval = free[fresh], bval[fresh]
+        for ofs in range(0, todo.size, lane_chunk):
+            sel = todo[ofs:ofs + lane_chunk]
+            sl = slice(ofs, ofs + sel.size)
+            zc_d, Fc_d, rn_d, rp_d = _basis_solve_refine(
+                M32_d, M64_d, jnp.asarray(free[sl]),
+                jnp.asarray(bval[sl]), jnp.asarray(q[sel]),
+                jnp.asarray(l64[sel]), jnp.asarray(u64[sel]),
+                jnp.asarray(delta_lane[sel]), jnp.asarray(zref[sel]),
+                REFINES)
+            # ONE fetch per chunk: solution, natural map, audited residuals
+            zc, Fchunk, rn, rp = (np.asarray(a) for a in
+                                  jax.device_get((zc_d, Fc_d, rn_d, rp_d)))
+            lu_factored += sel.size
+            refine_gemms += (REFINES + 1) * sel.size
+            iters_out[sel] += 1
+            ok = np.isfinite(rn) & (rn <= tol)
+            z_out[sel[ok]] = zc[ok]
+            done[sel[ok]] = True
+            fin = np.isfinite(rn)
+            # inner policy step: adopt every finite basis solution as the
+            # next classification point (no descent requirement — Newton on
+            # the natural map is not monotone; cycling is caught above) and
+            # classify it with a ~zero band: its sign split is exact
+            adv = ~ok & fin
+            Zc[sel[adv]] = zc[adv]
+            Fc[sel[adv]] = Fchunk[adv]
+            band_lane[sel[adv]] = 1e-9 * scale
+            # outer prox step: the prox subproblem is solved (rp ≤ tol) but
+            # the original residual isn't — recenter z_ref and shrink δ
+            rec = adv & (rp <= max(tol, 1e-10 * scale))
+            for lane_i in sel[rec]:
+                zref[lane_i] = Zc[lane_i]
+                seen_cls[lane_i].clear()
+            delta_lane[sel[rec]] = np.maximum(
+                delta_lane[sel[rec]] * 0.3, delta_min)
+            # singular factorization even with this δ: escalate the ladder
+            for lane_i in sel[~ok & ~fin]:
+                _bump_rung(lane_i)
+            _dbg(f"newton rd={rd} lanes={sel.size} ok={int(ok.sum())} "
+                 f"adv={int(adv.sum())} recenter={int(rec.sum())} "
+                 f"sing={int((~ok & ~fin).sum())} "
+                 f"dmax={delta_lane[sel].max():.1e}")
+
+    # exact host f64 MIN-NORM solve for lanes whose f32 factorization
+    # couldn't be refined: degenerate classifications give SINGULAR but
+    # consistent basis systems (the solution face is an affine set) — lstsq
+    # picks a valid point where np.linalg.solve returns garbage without
+    # raising.  Two classification bands tried per lane.
     for band in (1e-4 * scale, 1e-2 * scale):
         todo = np.flatnonzero(~done)
         if todo.size == 0:
             break
-        at_l, at_u = _classify(Z64[todo], F64[todo], l64[todo], u64[todo],
+        at_l, at_u = _classify(Zc[todo], Fc[todo], l64[todo], u64[todo],
                                band)
-        free = ~(at_l | at_u)
-        bval = np.where(at_l, l_fin[todo], u_fin[todo])
-        for ofs in range(0, todo.size, lane_chunk):
-            sel = todo[ofs:ofs + lane_chunk]
-            fr = free[ofs:ofs + lane_chunk]
-            bv = bval[ofs:ofs + lane_chunk]
-            C = sel.size
-            zc, (lu_d, piv_d) = _basis_solve(
-                jnp.asarray(M0, dtype=np.float32), jnp.asarray(fr),
-                jnp.asarray(bv, dtype=np.float32),
-                jnp.asarray(q[sel], dtype=np.float32), 2)
-            lu_factored += C
-            refine_gemms += 2 * C
-            zc = np.asarray(zc, dtype=np.float64)
-            # host f64 refinement against the ORIGINAL data (shared-M GEMM),
-            # correction solves reuse the device f32 factor.  Lanes whose
-            # factor is singular (degenerate classification) produce
-            # non-finite corrections — freeze THOSE lanes and keep refining
-            # the rest; a whole-chunk bail-out here would strand every good
-            # lane at f32 accuracy and fail the 1e-8 audit across the board.
-            for _ in range(3):
-                Fc = zc @ M0.T + q[sel]
-                r = np.where(fr, -Fc, bv - zc)
-                lane_r = np.abs(r).max(axis=1)
-                if lane_r.max() < 1e-12 * scale:
-                    break
-                dz = np.asarray(_refine_step(
-                    lu_d, piv_d, jnp.asarray(r, dtype=np.float32)),
-                    dtype=np.float64)
-                apply = (np.isfinite(dz).all(axis=1)
-                         & (lane_r >= 1e-12 * scale))
-                if not apply.any():
-                    break
-                zc = np.where(apply[:, None], zc + dz, zc)
-                refine_gemms += int(apply.sum())
-            rn, _ = _nat_resid_shared(M0, q[sel], l64[sel], u64[sel], zc)
-            ok = np.isfinite(rn) & (rn <= tol)
-            z_out[sel[ok]] = zc[ok]
-            done[sel[ok]] = True
-            _dbg(f"basis chunk band={band:.1e} lanes={C} ok={int(ok.sum())}")
-
-    # exact host f64 solve for lanes whose f32 factorization couldn't be
-    # refined (ill-conditioned basis) — same classification, LAPACK f64
-    todo = np.flatnonzero(~done)
-    if todo.size:
-        at_l, at_u = _classify(Z64[todo], F64[todo], l64[todo], u64[todo],
-                               1e-4 * scale)
         free = ~(at_l | at_u)
         bval = np.where(at_l, l_fin[todo], u_fin[todo])
         A = np.where(free[:, :, None], M0[None], np.eye(n)[None])
         rhs = np.where(free, -q[todo], bval)
-        try:
-            zc = np.linalg.solve(A, rhs[..., None])[..., 0]
-        except np.linalg.LinAlgError:
-            zc = np.stack([np.linalg.lstsq(A[i], rhs[i], rcond=None)[0]
-                           for i in range(todo.size)])
+        zc = np.stack([np.linalg.lstsq(A[i], rhs[i], rcond=None)[0]
+                       for i in range(todo.size)])
         host_solves += todo.size
+        iters_out[todo] += 1
         rn, _ = _nat_resid_shared(M0, q[todo], l64[todo], u64[todo], zc)
         ok = np.isfinite(rn) & (rn <= tol)
         z_out[todo[ok]] = zc[ok]
         done[todo[ok]] = True
+        _dbg(f"host lstsq solve band={band:.1e} lanes={todo.size} "
+             f"ok={int(ok.sum())}")
+
+    # structured rung: these ensembles are QP-KKT systems — solve the
+    # stragglers' underlying QPs with the batched ADMM kernel + dual
+    # reconstruction + Newton polish (the round-1 structured route), off-
+    # accelerator per the escalation placement policy.  Far cheaper and more
+    # robust than the generic hybrid at this n; LP-KKT degeneracy is ADMM's
+    # home turf.
+    todo = np.flatnonzero(~done)
+    if todo.size and structure is not None:
+        import contextlib
+        from .avi import _solve_kkt_avi_batch_impl
+        METRICS.bump("shared_kkt_admm_escalation", todo.size)
+        dev = _escalation_device()
+        ctx = jax.default_device(dev) if dev is not None else (
+            contextlib.nullcontext())
+        Mrep = np.repeat(M0[None], todo.size, axis=0)
+        vm = np.ones((todo.size, n), dtype=bool)
+        st = {k: v for k, v in structure.items() if k != "shared_M"}
+        with ctx:
+            sub = _solve_kkt_avi_batch_impl(
+                Mrep, q[todo], l64[todo], u64[todo], vm, st, tol, None,
+                "admm")
+        ok = np.asarray(sub.converged)
+        z_out[todo[ok]] = np.asarray(sub.z)[ok]
+        done[todo[ok]] = True
+        iters_out[todo] += np.asarray(sub.iters, dtype=np.int64)
+        _dbg(f"ADMM structured escalation lanes={todo.size} "
+             f"ok={int(ok.sum())}")
 
     # last resort: the generic adaptive per-lane solver (audited like
     # everything else); scenario stragglers here are genuinely hard lanes
     todo = np.flatnonzero(~done)
     if todo.size:
         METRICS.bump("shared_kkt_generic_escalation", todo.size)
-        from .avi import solve_avi_batch_adaptive
-        Mrep = np.repeat(M0[None], todo.size, axis=0)
-        res = solve_avi_batch_adaptive(
-            Mrep, q[todo], l64[todo], u64[todo], Z64[todo],
-            np.ones((todo.size, n), dtype=bool), tol=tol)
-        zg = np.asarray(res.z)
-        rg = np.asarray(res.resid)
-        ok = np.asarray(res.converged) & np.isfinite(rg)
+        zg, ok, it_g = _escalate_generic(M0, q[todo], l64[todo], u64[todo],
+                                         Z64[todo], tol)
         z_out[todo[ok]] = zg[ok]
         done[todo[ok]] = True
+        iters_out[todo] += it_g
+        _dbg(f"generic escalation (host) lanes={todo.size} "
+             f"ok={int(ok.sum())}")
 
     resid, _ = _nat_resid_shared(M0, q, l64, u64, z_out)
     converged = resid <= tol
     METRICS.bump("shared_kkt_solves", int(converged.sum()))
 
     if stats is not None:
-        # device FLOP ledger (host f64 GEMMs and LAPACK solves excluded —
-        # MFU reads as useful work extracted from the CHIP)
+        # device FLOP ledger (host LAPACK solves and the host-pinned
+        # escalation excluded — MFU reads as useful work extracted from the
+        # CHIP; the on-device f64 refinement GEMMs are counted at their
+        # nominal flop count)
         gemm = 2.0 * S * n * n
         eg_fl = eg_iters * 2.0 * gemm + (eg_iters / eg_chunk + 1) * gemm
         lu_fl = lu_factored * (2.0 / 3.0) * n ** 3
         tri_fl = (lu_factored + refine_gemms) * 2.0 * n * n * 2.0
+        ref_fl = refine_gemms * 2.0 * n * n
         stats.update(dict(
             eg_iters=eg_iters, lu_factored=lu_factored,
             refine_gemms=refine_gemms, host_solves=host_solves,
-            device_flops=eg_fl + lu_fl + tri_fl,
+            device_flops=eg_fl + lu_fl + tri_fl + ref_fl,
             device_bytes=4.0 * (eg_iters * (n * n + 3.0 * S * n)
                                 + lu_factored * 2.0 * n * n),
         ))
 
-    iters = np.full(S, eg_iters, dtype=np.int64)
-    return AVIResult(z=z_out, resid=resid, iters=iters, converged=converged)
+    return AVIResult(z=z_out, resid=resid, iters=iters_out,
+                     converged=converged)

@@ -105,6 +105,92 @@ class TestProductionRouting:
         assert bool(np.asarray(res.converged).all())
 
 
+class TestDesignScale:
+    """Coverage at the scale the route exists for (VERDICT r3 item 7): the
+    round-3 crash config was T=8 / n=608 / S=1024 on TPU while tests topped
+    out at T=2 / n=38."""
+
+    def test_trajectory_scale_regression_T8_n608(self):
+        """CPU regression at the full trajectory dimension (small S):
+        every lane certifies at 1e-8 and the ladder stays in its cheap
+        rungs — no generic escalation (counter pinned), bounded basis
+        rounds."""
+        from qpn_tpu.utils.metrics import METRICS
+        b = scenario_batch_gavis(num_scenarios=8, T=8, num_obj=4,
+                                 num_poly_faces=4, seed=3)
+        n = b["M"].shape[1]
+        assert n >= 600   # the crash-config dimension class
+        c0 = METRICS.counters.get("shared_kkt_generic_escalation", 0)
+        stats = {}
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, eg_budget=30000, stats=stats,
+                                   structure=b["structure"])
+        assert bool(np.asarray(res.converged).all())
+        assert float(np.asarray(res.resid).max()) <= 1e-8
+        # degenerate stragglers may use the structured ADMM rung, but the
+        # generic hybrid (the BENCH_r03 crash class) must stay cold
+        assert METRICS.counters.get("shared_kkt_generic_escalation", 0) == c0
+        # per-lane iters are real accounting now (eg iters + basis rounds),
+        # not a faked broadcast of eg_iters (round-3 shared_kkt.py:331)
+        it = np.asarray(res.iters)
+        assert (it >= stats["eg_iters"]).all()
+        assert (it > stats["eg_iters"]).any()   # basis rounds counted
+
+    def test_escalation_rung_runs_and_certifies(self, monkeypatch):
+        """The generic-escalation rung (the one that crashed the TPU worker
+        in round 3) solves lanes the cheap rungs were denied: disable the
+        Newton/host rungs and check escalation alone certifies the batch,
+        bumping the metrics counter."""
+        import qpn_tpu.ops.shared_kkt as sk
+        from qpn_tpu.utils.metrics import METRICS
+        b = scenario_batch_gavis(num_scenarios=6, T=2, num_obj=1,
+                                 num_poly_faces=4, seed=5)
+
+        def _poisoned(Zc, Fc, l, u, band):   # every classification garbage
+            at_l = np.zeros_like(Zc, dtype=bool)
+            return at_l, at_l
+        monkeypatch.setattr(sk, "_classify", _poisoned)
+        c0 = METRICS.counters.get("shared_kkt_generic_escalation", 0)
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, eg_budget=2000, newton_rounds=1)
+        assert METRICS.counters.get("shared_kkt_generic_escalation", 0) > c0
+        assert bool(np.asarray(res.converged).all())
+
+    def test_escalation_pinned_off_accelerator(self, monkeypatch):
+        """Crash containment (BENCH_r03 class): when the default backend is
+        an accelerator, the escalation rung must select a LOCAL CPU device —
+        the faulting kernel class never lands on the chip."""
+        import qpn_tpu.ops.shared_kkt as sk
+        monkeypatch.setattr(sk.jax, "default_backend", lambda: "tpu")
+        dev = sk._escalation_device()
+        assert dev is not None and dev.platform == "cpu"
+        # and on a CPU-default process it is a no-op (no double indirection)
+        monkeypatch.setattr(sk.jax, "default_backend", lambda: "cpu")
+        assert sk._escalation_device() is None
+
+    def test_property_n128_matches_generic(self, rng):
+        """Random monotone shared ensembles at n=128 (mid design scale):
+        shared route certifies and agrees with the generic solver."""
+        from qpn_tpu.ops.avi import solve_avi_batch_adaptive
+        n, S = 128, 12
+        A = rng.standard_normal((n, n))
+        K = rng.standard_normal((n, n))
+        M0 = A @ A.T / n + (K - K.T) / np.sqrt(n) + 0.05 * np.eye(n)
+        q = rng.standard_normal((S, n))
+        l = np.where(rng.random((S, n)) < 0.25, -np.inf,
+                     -1.0 - rng.random((S, n)))
+        u = np.where(rng.random((S, n)) < 0.25, np.inf,
+                     1.0 + rng.random((S, n)))
+        res = solve_kkt_avi_shared(M0, q, l, u, None, tol=1e-8)
+        assert bool(np.asarray(res.converged).all())
+        ref = solve_avi_batch_adaptive(
+            np.repeat(M0[None], S, axis=0), q, l, u, np.zeros((S, n)),
+            np.ones((S, n), bool), tol=1e-8)
+        assert np.asarray(ref.converged).all()
+        np.testing.assert_allclose(np.asarray(res.z), np.asarray(ref.z),
+                                   atol=1e-6)
+
+
 class TestPropertyRandomSharedEnsembles:
     def test_random_strongly_monotone_matches_generic(self, rng):
         """Random shared-M ensembles (PSD + skew + δI → unique solution):
