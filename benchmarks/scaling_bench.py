@@ -1,0 +1,124 @@
+"""Scaling-efficiency measurement for the sharded equilibrium superstep and
+the lockstep full-solve ensemble broker (SURVEY §2.3 row 8 / BASELINE.json
+north star: ≥80% scaling efficiency).
+
+Real multi-chip hardware is unavailable in this environment (one TPU chip
+behind a tunnel), so the measurement runs on VIRTUAL devices: one process
+per device count D ∈ {1, 2, 4, 8} with
+``--xla_force_host_platform_device_count=D`` on the CPU backend.  Virtual
+devices share the machine's physical cores (4 here), so the meaningful
+ceiling for compute-bound work is ``ideal(D) = min(D, ncores)``; efficiency
+is reported against that core-limited ideal — at D ≤ ncores this is plain
+strong-scaling efficiency, above it it measures sharding overhead under
+oversubscription (the collectives, layout, and dispatch cost of the mesh
+path, which is what transfers to real multi-chip meshes).
+
+Usage: python benchmarks/scaling_bench.py [--quick]
+Prints a table plus one JSON line with the efficiency ladder.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+NCORES = os.cpu_count() or 1
+
+_WORKER = r"""
+import os, sys, time, json
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from qpn_tpu.parallel.mesh import make_mesh
+from qpn_tpu.parallel.sharded import equilibrium_superstep
+from qpn_tpu.models.robust_avoid import scenario_batch_gavis
+
+mode, S, reps = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+D = len(jax.devices())
+batch = scenario_batch_gavis(num_scenarios=S, T=2, num_obj=1,
+                             num_poly_faces=4, seed=0)
+mesh = make_mesh()
+
+if mode == "superstep":
+    run = lambda: equilibrium_superstep(mesh, batch, tol=1e-8)
+    out = run()                     # compile + warm
+    np.asarray(out["keep"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+        np.asarray(out["keep"])
+    dt = (time.perf_counter() - t0) / reps
+    conv = float(np.asarray(out["converged_frac"]))
+else:
+    from qpn_tpu.parallel.lockstep import solve_many_lockstep
+    import qpn_tpu as qt
+    qpns = [qt.setup("simple_bilevel", gen_solution_map=False)
+            for _ in range(S)]
+    x0s = [np.array([0.1 * i, 1.0, 0.0, 0.0]) for i in range(S)]
+    solve_many_lockstep(qpns, x0s, mesh=mesh)   # warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rets, _ = solve_many_lockstep(qpns, x0s, mesh=mesh)
+    dt = (time.perf_counter() - t0) / reps
+    conv = float(np.mean([r.solved for r in rets]))
+
+print(json.dumps({"devices": D, "wall_s": dt, "throughput": S / dt,
+                  "conv": conv}))
+"""
+
+
+def measure(mode: str, devices: int, S: int, reps: int) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # drop any inherited device-count flag (tests set one globally in
+    # conftest) — LAST flag wins in XLA, so appending isn't enough
+    inherited = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f)
+    env["XLA_FLAGS"] = (
+        f"{inherited} --xla_force_host_platform_device_count={devices}"
+    ).strip()
+    out = subprocess.run(
+        [sys.executable, "-c", _WORKER, mode, str(S), str(reps)],
+        capture_output=True, text=True, env=env, timeout=1800,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if out.returncode != 0:
+        raise RuntimeError(f"{mode}@{devices}: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def ladder(mode: str, S: int, reps: int, counts=(1, 2, 4, 8)) -> dict:
+    rows = {}
+    base = None
+    for d in counts:
+        r = measure(mode, d, S, reps)
+        if base is None:
+            base = r["throughput"]
+        ideal = min(d, NCORES)
+        r["speedup"] = r["throughput"] / base
+        r["efficiency_vs_core_ideal"] = r["speedup"] / ideal
+        rows[d] = r
+        print(f"{mode:10s} D={d}  wall={r['wall_s']:.3f}s  "
+              f"thr={r['throughput']:.1f}/s  speedup={r['speedup']:.2f}  "
+              f"eff(vs min(D,{NCORES}))={r['efficiency_vs_core_ideal']:.2f}",
+              flush=True)
+    return rows
+
+
+def main():
+    quick = "--quick" in sys.argv
+    S = 128 if quick else 512
+    reps = 2 if quick else 3
+    print(f"ncores={NCORES}  S={S}  reps={reps}")
+    result = {
+        "ncores": NCORES,
+        "superstep": ladder("superstep", S, reps),
+        "lockstep": ladder("lockstep", 8 if quick else 16, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -751,9 +751,15 @@ def create_labeled_gavi_from_qp(qpn: QPNet, pid: int,
                            l2=l2, u2=u2)
 
 
-def combine_gavis(n: int, dec_inds, param_inds, labeled_gavis) -> GAVI:
+def combine_gavis(n: int, dec_inds, param_inds, labeled_gavis,
+                  layout: Optional[dict] = None) -> GAVI:
     """Stack per-player blocks into one GAVI over
-    Z = [x_dec; ξ…; λψ…] with ξ-consensus top rows (avi.jl:305-377)."""
+    Z = [x_dec; ξ…; λψ…] with ξ-consensus top rows (avi.jl:305-377).
+
+    ``layout``, if given, is filled with the combined column indices of the
+    ψ variables (per-player solution-graph duals) — the MIN_NORM
+    shared-variable mode's revision objective needs them
+    (deprecated/avi.jl:148-369 semantics)."""
     nd = len(dec_inds)
     total_dual_dim = 0
     total_xi_dim = 0
@@ -809,6 +815,18 @@ def combine_gavis(n: int, dec_inds, param_inds, labeled_gavis) -> GAVI:
             if d in lg.dvars:
                 col = nd + xr[lg.labels[f"xi_{pid}_{d}"] - n]
                 top_M[di, col] = 1.0
+
+    if layout is not None:
+        psi_inds = []
+        for pid in pool:
+            lg = labeled_gavis[pid]
+            xi_dim = lg.M1.shape[0]
+            lr = lampsi_ranges[pid]
+            for key, idx in lg.labels.items():
+                if key.startswith("psi_"):
+                    psi_inds.append(nd + lr[idx - n - xi_dim])
+        layout["psi_inds"] = sorted(psi_inds)
+        layout["nd"] = nd
 
     M = np.vstack([top_M, M])
     N = np.vstack([top_N, N])
@@ -932,14 +950,21 @@ def solve_qep(qpn: QPNet, player_pool, x, S: Dict[int, Poly]):
                                     for i in player_pool]))
     param_inds = [i for i in range(x_dim) if i not in set(dec_inds)]
 
-    fast = _try_potential_qp(qpn, player_pool, x, S, dec_inds, param_inds)
+    from .options import SharedVariableMode
+    min_norm = (qpn.options.shared_variable_mode
+                == SharedVariableMode.MIN_NORM)
+    # MIN_NORM asks for explicit control over the dual selection — the
+    # potential-game shortcut never materializes ψ, so it can't honor it
+    fast = (None if min_norm else
+            _try_potential_qp(qpn, player_pool, x, S, dec_inds, param_inds))
     METRICS.bump("qep_solves")
     if fast is not None:
         return fast
 
     labeled = {pid: create_labeled_gavi_from_qp(qpn, pid, S)
                for pid in player_pool}
-    gavi = combine_gavis(x_dim, dec_inds, param_inds, labeled)
+    layout: Dict = {}
+    gavi = combine_gavis(x_dim, dec_inds, param_inds, labeled, layout)
 
     w = x[param_inds]
     z0 = np.concatenate([x[dec_inds],
@@ -951,10 +976,42 @@ def solve_qep(qpn: QPNet, player_pool, x, S: Dict[int, Poly]):
             f"AVI solve error. This might be because one of the qps "
             f"{sorted(player_pool)} is unbounded or ill-conditioned.")
 
+    if min_norm and layout.get("psi_inds"):
+        z = min_norm_revise_qep(gavi, layout["psi_inds"], z, w)
+
     x_opt = x.copy()
     x_opt[dec_inds] = z[:len(dec_inds)]
     x_opt[param_inds] = w
     return x_opt
+
+
+def min_norm_revise_qep(gavi: GAVI, psi_inds, z, w):
+    """``shared_variable_mode=MIN_NORM`` consumer: re-solve the QEP GAVI
+    restricted to the local solution piece at (z, w), minimizing ½‖ψ‖² over
+    the solution-graph duals (the semantics the reference documents in its
+    deprecated monolithic solve_qep, deprecated/avi.jl:148-369; the live
+    reference accepts the flag and drops it, avi.jl:387-390).
+
+    When child solution graphs carry redundant constraint rows the
+    equilibrium duals ψ are a degenerate set; the default SHARED_DUAL flow
+    returns whichever point the solver lands on, MIN_NORM selects the
+    minimum-norm representative — making multiplier-based diagnostics (and
+    the requests subsystem reading ψ activity) deterministic.  Falls back to
+    the unrevised z if the restricted solve fails."""
+    from .enumeration import comp_indices, local_piece, max_freedom_K
+    from .requests import min_norm_objective, revise_avi_solution
+    nz, nw = len(z), len(w)
+    J = comp_indices(gavi, z, w)
+    K = max_freedom_K(J)
+    piece, _ = local_piece(gavi, nz, nw, K)
+    f = min_norm_objective(nz, psi_inds)
+    try:
+        z_rev = revise_avi_solution(f, piece, z, w)
+    except RuntimeError:
+        METRICS.bump("min_norm_revise_failed")
+        return z
+    METRICS.bump("min_norm_revised")
+    return np.asarray(z_rev)[:nz]
 
 
 # --------------------------------------------------------------------------

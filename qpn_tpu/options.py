@@ -29,14 +29,24 @@ ALL_LEVELS = _AllLevels()
 
 @dataclasses.dataclass
 class QPNetOptions:
+    # MIN_NORM re-solves each QEP restricted to its local solution piece,
+    # minimizing ‖ψ‖ over the child-solution-graph duals (consumed by
+    # algorithm.min_norm_revise_qep; semantics from the reference's
+    # deprecated monolithic solve_qep, deprecated/avi.jl:148-369 — the live
+    # reference accepts this kwarg and DROPS it, avi.jl:387-390).
     shared_variable_mode: SharedVariableMode = SharedVariableMode.SHARED_DUAL
     max_iters: int = 150
     tol: float = 1e-4
+    # DORMANT (parity-with-dormancy): the reference's live solve_qep takes
+    # and ignores these two (avi.jl:387-390); their semantics exist only in
+    # its deprecated code path.  Accepted for API compatibility, consumed
+    # nowhere — setting them changes nothing, here as there.
     high_dimension: bool = False
     high_dimension_max_iters: int = 10
     num_projections: int = 4
     make_requests: bool = False
     exploration_vertices: int = 0
+    # DORMANT — see high_dimension note above.
     try_hull: bool = False
     debug_visualize: bool = False
     gen_solution_map: bool = False

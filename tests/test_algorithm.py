@@ -178,3 +178,74 @@ def test_convexity_audit_per_combo():
 
     with pytest.raises(RuntimeError, match="not convex"):
         _audit_convexity(qp, 1, x, [0, 1], [box], [[box], [box, pin_y]])
+
+
+class TestMinNormSharedVariableMode:
+    """shared_variable_mode=MIN_NORM consumer (VERDICT r3 item 9): the
+    reference's live solve_qep accepts and DROPS the flag (avi.jl:387-390);
+    its semantics live in deprecated/avi.jl:148-369 — re-solve restricted to
+    the local solution piece minimizing the solution-graph duals' norm."""
+
+    def test_min_norm_changes_psi_on_degenerate_duals(self):
+        """Duplicated constraint rows make the equilibrium duals ψ a
+        degenerate affine set; MIN_NORM must pick the minimum-norm
+        representative (equal split), changing ψ from the solver's
+        arbitrary landing point."""
+        import numpy as np
+        from qpn_tpu.algorithm import min_norm_revise_qep
+        from qpn_tpu.ops.avi import GAVI, convert_gavi, check_avi_solution
+
+        # min ½x² − 2x  s.t.  x ≤ 1 stated TWICE: at x*=1 the duals obey
+        # ψ1+ψ2 = −1, ψᵢ ≤ 0 (the framework's −Aᵀψ stationarity layout,
+        # create_labeled_gavi_from_qp) — any split solves the GAVI
+        gavi = GAVI(
+            M=np.array([[1.0, -1.0, -1.0]]),
+            N=np.zeros((1, 0)), o=np.array([-2.0]),
+            l1=np.array([-np.inf]), u1=np.array([np.inf]),
+            A=np.array([[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]]),
+            B=np.zeros((2, 0)),
+            l2=np.array([-np.inf, -np.inf]), u2=np.array([1.0, 1.0]))
+        w = np.zeros(0)
+        # start interior to the degenerate dual face (both rows active
+        # with nonzero duals) so the LOCAL piece — MIN_NORM revises within
+        # one piece, like the reference's deprecated flow — contains the
+        # whole ψ1+ψ2=−1, ψ≤0 segment
+        z_lopsided = np.array([1.0, -0.9, -0.1])   # a valid but extreme ψ
+        ok, bad, _ = check_avi_solution(convert_gavi(gavi),
+                                        np.concatenate([z_lopsided, [1, 1]]),
+                                        w)
+        assert ok, f"test premise: z_lopsided must solve the GAVI ({bad})"
+        z_rev = min_norm_revise_qep(gavi, [1, 2], z_lopsided, w)
+        assert abs(z_rev[0] - 1.0) <= 1e-6          # x* unchanged
+        assert abs(z_rev[1] + z_rev[2] + 1.0) <= 1e-6   # still stationary
+        psi0 = np.linalg.norm(z_lopsided[1:])
+        psi1 = np.linalg.norm(z_rev[1:])
+        assert psi1 < psi0 - 1e-3                   # ψ actually changed
+        assert abs(z_rev[1] - z_rev[2]) <= 1e-5     # the equal split
+
+    def test_min_norm_end_to_end_preserves_golden_solution(self):
+        """solve() under MIN_NORM reproduces the simple_bilevel golden
+        point, and a direct QEP step under MIN_NORM routes through the
+        full-GAVI path (no potential fast path) and runs the revision hook."""
+        import numpy as np
+        import qpn_tpu as qt
+        from qpn_tpu.options import SharedVariableMode
+        from qpn_tpu.utils.metrics import METRICS
+
+        qpn = qt.setup("simple_bilevel", gen_solution_map=True)
+        qpn.options.shared_variable_mode = SharedVariableMode.MIN_NORM
+        ret = qt.solve(qpn, np.array([0.0, 1.0, 0.0, 0.0]))
+        assert ret.solved
+        assert np.allclose(ret.x_opt[2:], [0.5, 0.5], atol=1e-4)
+
+        # deterministic QEP step (the solve above may route through the
+        # chain sweep, which needs no QEP iteration at all): leader with a
+        # child solution graph, MIN_NORM set -> revision must run
+        c0 = METRICS.counters.get("min_norm_revised", 0)
+        f0 = METRICS.counters.get("qep_potential_fastpath", 0)
+        x = np.array([1.0, 2.0, 0.0, 0.0])
+        S = {1: Poly(np.array([[0.0, 0.0, 1.0, -1.0]]), [0.0], [0.0])}
+        x_opt = solve_qep(qpn, [2], x, S)
+        assert np.allclose(x_opt[2:], [1.5, 1.5], atol=1e-6)
+        assert METRICS.counters.get("min_norm_revised", 0) > c0
+        assert METRICS.counters.get("qep_potential_fastpath", 0) == f0

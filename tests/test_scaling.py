@@ -1,0 +1,36 @@
+"""Scaling-efficiency regression for the sharded equilibrium superstep
+(SURVEY §2.3 row 8; BASELINE.json north star ≥80% scaling efficiency).
+
+Real multi-chip hardware is unavailable, so the ladder runs on virtual CPU
+devices (one subprocess per device count, --xla_force_host_platform_
+device_count).  Virtual devices share the physical cores, so the honest
+strong-scaling point is D = ncores; beyond it the measurement is sharding
+overhead under oversubscription.  Measured on the 4-core build machine
+(benchmarks/scaling_bench.py, S=512): eff 0.93 @ D=2, 0.82 @ D=4,
+and D=8 retains 0.90 of the D=4 throughput.  The assertions below carry
+flake margin under those numbers.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from benchmarks.scaling_bench import NCORES, measure  # noqa: E402
+
+
+@pytest.mark.slow
+def test_superstep_scaling_efficiency():
+    S, reps = 256, 2
+    base = measure("superstep", 1, S, reps)
+    assert base["conv"] == 1.0
+    at_cores = measure("superstep", min(8, NCORES), S, reps)
+    eff = (at_cores["throughput"] / base["throughput"]) / min(8, NCORES)
+    assert eff >= 0.70, f"strong-scaling efficiency at D=ncores: {eff:.2f}"
+    if NCORES < 8:
+        over = measure("superstep", 8, S, reps)
+        keep = over["throughput"] / at_cores["throughput"]
+        assert keep >= 0.70, (
+            f"8-device oversubscribed throughput kept only {keep:.2f} of "
+            f"the {min(8, NCORES)}-device rate — sharding overhead regressed")
