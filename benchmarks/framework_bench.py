@@ -38,6 +38,10 @@ def main():
     if "--cpu" in sys.argv:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    json_path = None
+    for a in sys.argv[1:]:
+        if a.startswith("--json="):
+            json_path = a[len("--json="):]
     import jax
     import qpn_tpu as qt
 
@@ -45,6 +49,7 @@ def main():
     print(f"{'model':34s} {'solved':7s} {'wall[s]':>8s} "
           f"{'qep':>4s} {'fast':>4s} {'pieces':>7s}")
     total = 0.0
+    rows = {}
     for name, kwargs, x0 in CONFIGS:
         qpn = qt.setup(name, **kwargs)
         t0 = time.perf_counter()
@@ -52,11 +57,23 @@ def main():
         dt = time.perf_counter() - t0
         total += dt
         c = qpn.metrics.counters
+        rows[name] = {
+            "solved": bool(ret.solved), "wall_s": round(dt, 2),
+            "qep": int(c.get("qep_solves", 0)),
+            "fastpath": int(c.get("qep_potential_fastpath", 0)),
+            "pieces": int(c.get("pieces_projected", 0)),
+        }
         print(f"{name:34s} {str(bool(ret.solved)):7s} {dt:8.2f} "
               f"{int(c.get('qep_solves', 0)):4d} "
               f"{int(c.get('qep_potential_fastpath', 0)):4d} "
               f"{int(c.get('pieces_projected', 0)):7d}")
     print(f"{'TOTAL':34s} {'':7s} {total:8.2f}")
+    if json_path:
+        import json
+        with open(json_path, "w") as fh:
+            json.dump({"backend": jax.default_backend(),
+                       "total_s": round(total, 2), "models": rows}, fh,
+                      indent=1)
 
 
 if __name__ == "__main__":

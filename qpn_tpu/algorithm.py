@@ -250,45 +250,63 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
     # batched Cholesky.  Acceptance stays certificate-based (signs AND
     # stationarity residual), so refinement can only move tasks from the
     # expensive fallback to the cheap path, never change an outcome.
-    Adj = jnp.asarray(Ad)
-    qtj = jnp.asarray(qt)
-    G0 = jnp.einsum("bmd,bkd->bmk", Adj, Adj)
-    rhs = jnp.einsum("bmd,bd->bm", Adj, qtj)
-    eye_m = jnp.eye(m_p)[None]
-    sc_all = sign_class
-    single = (sc_all == 1) | (sc_all == -1)
-    act_work = act_mask.copy()
-    certified = np.zeros(B, dtype=bool)
-    lam_best = np.zeros((B, m_p))
-    # scale-aware pin: an absolute 1e12 penalty next to a large active Gram
-    # block eats the f64 Cholesky's significand and silently knocks the lane
-    # off the fast path (VERDICT r2 weak #8); 1e8 × the lane's own Gram
-    # scale keeps inactive λ ≈ rhs/pin ~ 1e-8 (zero at tol) with bounded
-    # dynamic range
-    gscale = jnp.maximum(1.0, jnp.max(jnp.abs(G0), axis=(1, 2)))
-    last_sign_ok = np.zeros(B, dtype=bool)
-    last_resid_ok = np.zeros(B, dtype=bool)
-    for _round in range(3):
-        pin = jnp.where(jnp.asarray(act_work), 0.0,
-                        1e8 * gscale[:, None])
-        lam_j = chol_solve(G0 + (1e-12 + pin)[:, :, None] * eye_m, rhs)
-        lam_all = np.asarray(lam_j)
-        resid_all = np.asarray(
-            jnp.einsum("bmd,bm->bd", Adj, lam_j) - qtj)
-        lam_all = np.where(act_work, lam_all, 0.0)
-        bad_sign = single & act_work & (lam_all <= -tol)
-        ok_signs_b = ~bad_sign.any(axis=1)
-        ok_resid_b = np.abs(resid_all).max(axis=1) <= tol
-        last_sign_ok, last_resid_ok = ok_signs_b, ok_resid_b
-        newly = ~certified & ok_signs_b & ok_resid_b
-        lam_best[newly] = lam_all[newly]
-        certified |= newly
-        todo = ~certified & bad_sign.any(axis=1)
-        if not todo.any():
-            break
-        act_work = act_work & ~(bad_sign & todo[:, None])
-        if _round:
-            METRICS.bump("verify_sign_refine_rounds")
+    # The whole refinement is PINNED to the glue placement (host CPU on
+    # accelerator processes, config.glue_dispatch_device), for two reasons
+    # that hold at every batch size:
+    # (1) latency/wedge: these kernels dispatch one at a time — on an
+    #     accelerator-default process each pays a device round-trip
+    #     (through a network tunnel on this image, with a measured
+    #     minutes-scale wedge mode on tiny-dispatch storms: the 177s
+    #     simple_bilevel pathology of the round-4 TPU zoo);
+    # (2) trajectory invariance: the certify decision is an f64 sign split
+    #     against coordinated tolerances (1e-2 activity / 1e-4 duals,
+    #     qp_processing.jl:98-127) — the accelerator's EMULATED-f64 LSQ
+    #     rounds differently and measurably flips enumeration trajectories
+    #     (round-3 robust_avoid: 71 pieces/8 QEP on TPU vs 60/7 on CPU).
+    #     Host LAPACK is the semantic reference on every backend; the chip
+    #     keeps the piece/ensemble math, where residual audits gate
+    #     acceptance instead.
+    from .config import glue_dispatch_device
+    with glue_dispatch_device():
+        Adj = jnp.asarray(Ad)
+        qtj = jnp.asarray(qt)
+        G0 = jnp.einsum("bmd,bkd->bmk", Adj, Adj)
+        rhs = jnp.einsum("bmd,bd->bm", Adj, qtj)
+        eye_m = jnp.eye(m_p)[None]
+        sc_all = sign_class
+        single = (sc_all == 1) | (sc_all == -1)
+        act_work = act_mask.copy()
+        certified = np.zeros(B, dtype=bool)
+        lam_best = np.zeros((B, m_p))
+        # scale-aware pin: an absolute 1e12 penalty next to a large active
+        # Gram block eats the f64 Cholesky's significand and silently knocks
+        # the lane off the fast path (VERDICT r2 weak #8); 1e8 × the lane's
+        # own Gram scale keeps inactive λ ≈ rhs/pin ~ 1e-8 (zero at tol)
+        # with bounded dynamic range
+        gscale = jnp.maximum(1.0, jnp.max(jnp.abs(G0), axis=(1, 2)))
+        last_sign_ok = np.zeros(B, dtype=bool)
+        last_resid_ok = np.zeros(B, dtype=bool)
+        for _round in range(3):
+            pin = jnp.where(jnp.asarray(act_work), 0.0,
+                            1e8 * gscale[:, None])
+            lam_j = chol_solve(G0 + (1e-12 + pin)[:, :, None] * eye_m, rhs)
+            lam_all = np.asarray(lam_j)
+            resid_all = np.asarray(
+                jnp.einsum("bmd,bm->bd", Adj, lam_j) - qtj)
+            lam_all = np.where(act_work, lam_all, 0.0)
+            bad_sign = single & act_work & (lam_all <= -tol)
+            ok_signs_b = ~bad_sign.any(axis=1)
+            ok_resid_b = np.abs(resid_all).max(axis=1) <= tol
+            last_sign_ok, last_resid_ok = ok_signs_b, ok_resid_b
+            newly = ~certified & ok_signs_b & ok_resid_b
+            lam_best[newly] = lam_all[newly]
+            certified |= newly
+            todo = ~certified & bad_sign.any(axis=1)
+            if not todo.any():
+                break
+            act_work = act_work & ~(bad_sign & todo[:, None])
+            if _round:
+                METRICS.bump("verify_sign_refine_rounds")
 
     # fallback-cause accounting (weak #8): a lane with clean signs but a
     # stationarity residual above tol lost the fast path to conditioning /
@@ -1276,7 +1294,13 @@ def _chain_sweep_warmstart(qpn: QPNet):
         M, Nc, o, l, u, nd, owns = stack_chain_avis(qpn)
     except (ValueError, AssertionError):
         return None
-    carry, zs, resids = level_sweep_scan(M, Nc, o, l, u, nd, np.zeros(nd))
+    # small-dispatch placement: the stacked per-level KKT blocks of zoo-class
+    # chains are tiny ((levels, nd', nd') with nd' ≤ dozens) — the scan is
+    # glue on an accelerator process (fresh tunnel compile per chain shape)
+    from .config import small_dispatch_device
+    with small_dispatch_device(int(np.asarray(M).size)):
+        carry, zs, resids = level_sweep_scan(M, Nc, o, l, u, nd,
+                                             np.zeros(nd))
     if float(np.max(np.asarray(resids))) > 1e-8:
         METRICS.bump("chain_sweep_residual_reject")
         return None

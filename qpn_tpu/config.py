@@ -145,6 +145,14 @@ class NumericConfig:
     # warn-once + fallback so a Mosaic regression degrades throughput, not
     # availability).
     pallas_strict: bool = os.environ.get("QPN_PALLAS_STRICT", "") == "1"
+    # First-use subprocess validation of Pallas/Mosaic kernel signatures on
+    # real accelerators (utils/kernel_guard): a device kernel fault kills
+    # the host process and cannot be caught in-process (the BENCH_r03
+    # class), so each new signature's first execution happens in a killable
+    # probe subprocess; crashing signatures are tombstoned on disk and
+    # demoted loudly forever after.  "auto" = on for real accelerator
+    # backends; "off" disables (probe workers set this to avoid recursion).
+    kernel_guard: str = os.environ.get("QPN_KERNEL_GUARD", "auto")
     # per-backend block-count crossovers (dense factorization wins below)
     banded_min_blocks_tpu: int = 8
     banded_min_blocks_cpu: int = 64
@@ -156,6 +164,32 @@ class NumericConfig:
 
 
 import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def glue_dispatch_device():
+    """Unconditional host-CPU placement for host-algorithm glue solves.
+
+    Some call sites are latency-bound glue REGARDLESS of tensor size — the
+    per-QEP multi-start ``solve_avi`` (the reference's serial PATH call,
+    avi.jl:63-77): a handful of restart lanes whose accelerator dispatch
+    pays tunnel latency, a fresh minutes-scale XLA compile per new shape,
+    and exposure to the tiny-dispatch wedge mode.  The accelerator keeps
+    the large batched ensembles, which go through the batched entries.
+
+    Honors ``CONFIG.small_qp_on_cpu = False`` as the explicit
+    keep-everything-on-accelerator override (bench controlled comparisons
+    set it)."""
+    if CONFIG.small_qp_on_cpu and jax.default_backend() != "cpu":
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            with jax.default_device(cpu):
+                yield True
+            return
+    yield False
 
 
 @contextlib.contextmanager

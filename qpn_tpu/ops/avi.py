@@ -790,26 +790,35 @@ def solve_avi(avi: AVI, z0, w, convergence_tolerance: float = 1e-10,
         starts.append(rng.standard_normal(n) * scale)
     Z0 = np.stack(starts)
     B = Z0.shape[0]
-    res = solve_avi_batch_padded(
-        np.repeat(avi.M[None], B, axis=0), np.repeat(q[None], B, axis=0),
-        np.repeat(avi.l[None], B, axis=0), np.repeat(avi.u[None], B, axis=0),
-        Z0, np.ones((B, n), dtype=bool),
-        tol=convergence_tolerance, max_iter=4000)
-    res = jax.device_get(res)
-    resid = np.asarray(res.resid)
-    best = int(np.argmin(resid))
-    z = np.asarray(res.z)[best]
-    ok = bool(np.asarray(res.converged)[best])
-    if not ok:
-        # escalation tier: proximal Lemke pivoting — the problem class where
-        # smooth methods stall (degenerate multi-player LP-KKT QEPs) is
-        # exactly what the reference's PATH pivoting handles (avi.jl:63-77)
-        from .lemke import lemke_escalate
-        zL, rL = lemke_escalate(
-            avi.M[None], q[None], avi.l[None], avi.u[None], z[None],
-            np.ones((1, n), dtype=bool), tol=convergence_tolerance)
-        if rL[0] < resid[best]:
-            z, ok = zL[0], bool(rL[0] <= convergence_tolerance)
+    # host-latency glue, pinned off-accelerator REGARDLESS of n (the
+    # reference makes this exact call serially in-process): a handful of
+    # restart lanes gains nothing from the chip, pays a fresh minutes-scale
+    # tunnel compile per new QEP shape, and the Lemke escalation tableau at
+    # trajectory scale is the BENCH_r03 kernel-fault class
+    from ..config import glue_dispatch_device
+    with glue_dispatch_device():
+        res = solve_avi_batch_padded(
+            np.repeat(avi.M[None], B, axis=0), np.repeat(q[None], B, axis=0),
+            np.repeat(avi.l[None], B, axis=0),
+            np.repeat(avi.u[None], B, axis=0),
+            Z0, np.ones((B, n), dtype=bool),
+            tol=convergence_tolerance, max_iter=4000)
+        res = jax.device_get(res)
+        resid = np.asarray(res.resid)
+        best = int(np.argmin(resid))
+        z = np.asarray(res.z)[best]
+        ok = bool(np.asarray(res.converged)[best])
+        if not ok:
+            # escalation tier: proximal Lemke pivoting — the problem class
+            # where smooth methods stall (degenerate multi-player LP-KKT
+            # QEPs) is exactly what the reference's PATH pivoting handles
+            # (avi.jl:63-77)
+            from .lemke import lemke_escalate
+            zL, rL = lemke_escalate(
+                avi.M[None], q[None], avi.l[None], avi.u[None], z[None],
+                np.ones((1, n), dtype=bool), tol=convergence_tolerance)
+            if rL[0] < resid[best]:
+                z, ok = zL[0], bool(rL[0] <= convergence_tolerance)
     sol_ok, degree, _ = check_avi_solution(avi, z, w, tol=1e-6)
     status = Status.SUCCESS if (ok and sol_ok) else Status.FAILURE
     return z, status

@@ -644,6 +644,28 @@ def solve_lemke_batch_state_auto(M, q, l, u, z0, var_mask, tol=1e-9,
     # costs ~1s PER CALL, so failing signatures are memoized too
     sig = (q.shape, str(q.dtype), max_pivots)
     if use_pallas and q.shape[0] >= 8 and sig not in _PALLAS_FAILED:
+        if backend == "tpu" and CONFIG.kernel_guard != "off":
+            # first use of this signature on real hardware: validate in a
+            # killable subprocess — a device kernel fault (uncatchable
+            # in-process, the BENCH_r03 class) tombstones the signature and
+            # demotes it instead of killing the user's solve
+            from ..utils.kernel_guard import ensure_kernel_safe
+            if not ensure_kernel_safe(
+                    "lemke_pallas", sig + ("tpu",),
+                    {"B": int(q.shape[0]), "n": int(q.shape[1]),
+                     "max_pivots": int(max_pivots),
+                     "dtype": str(q.dtype)}):
+                _PALLAS_FAILED.add(sig)
+                from ..utils.metrics import METRICS
+                METRICS.bump("lemke_pallas_guard_demoted", 1)
+                if CONFIG.pallas_strict:
+                    raise RuntimeError(
+                        f"Pallas Lemke kernel signature {sig} failed its "
+                        f"first-use validation probe (kernel_guard)")
+                return solve_lemke_batch_state(
+                    M, q, l, u, z0, var_mask, tol=tol, piv_tol=piv_tol,
+                    max_pivots=max_pivots, synth_scale=synth_scale,
+                    cover=cover)
         try:
             from .lemke_pallas import solve_lemke_batch_state_pallas
             return solve_lemke_batch_state_pallas(

@@ -144,6 +144,21 @@ def eg_warmstart(M, q, l, u, z0, var_mask, steps: int = 200,
     np_ = _pad_lane(n)
     Bp = ((B + _EG_TILE - 1) // _EG_TILE) * _EG_TILE
 
+    from ..config import CONFIG, effective_backend
+    if (not _interpret() and effective_backend() == "tpu"
+            and CONFIG.kernel_guard != "off"):
+        # first-use subprocess validation (see utils/kernel_guard): an
+        # unsafe signature degrades to the identity warm start — the caller
+        # accepts the EG result per-lane only when it helps anyway
+        from ..utils.kernel_guard import ensure_kernel_safe
+        if not ensure_kernel_safe(
+                "eg_warmstart", (Bp, np_, steps, "f32"),
+                {"B": Bp, "n": np_, "steps": steps}):
+            from ..utils.metrics import METRICS
+            METRICS.bump("eg_warmstart_guard_demoted", 1)
+            return np.where(mask, np.asarray(z0, dtype=np.float64)
+                            * (e_sc if ruiz else 1.0), 0.0)
+
     Mp = np.zeros((Bp, np_, np_), dtype=np.float32)
     mm = mask[:, :, None] & mask[:, None, :]
     Mp[:B, :n, :n] = np.where(mm, M, 0.0)
