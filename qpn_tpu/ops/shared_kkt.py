@@ -169,6 +169,40 @@ def _basis_solve_refine(M32, M64, free, bval, q64, l64, u64, delta, zref,
     return z, F, rn, rp
 
 
+def _host_basis_solve(M0, free, bval, qs, ls, us, delta, zref):
+    """Host f64 LAPACK version of the proximal basis solve, for the
+    straggler TAIL (a handful of degenerate lanes cycling through the δ
+    ladder): each device dispatch at these lane counts is latency-bound
+    (~0.3s through the tunnel vs ~40ms of host LAPACK), and exact f64
+    factorization needs no refinement passes at all.  Same contract as
+    :func:`_basis_solve_refine`: (z, F, rn, rp)."""
+    n = M0.shape[0]
+    eye = np.eye(n)
+    A = np.where(free[:, :, None],
+                 M0[None] + delta[:, None, None] * eye[None], eye[None])
+    rhs = np.where(free, -(qs - delta[:, None] * zref), bval)
+    C = free.shape[0]
+    z = np.empty((C, n))
+    for i in range(C):
+        try:
+            z[i] = np.linalg.solve(A[i], rhs[i])
+        except np.linalg.LinAlgError:
+            # exactly singular basis: report non-finite so the caller's δ
+            # ladder escalates (an SVD min-norm solve here costs ~seconds
+            # per lane at n≈600 and the post-loop lstsq rung already covers
+            # the consistent-singular case once, not once per round)
+            z[i] = np.nan
+    with np.errstate(invalid="ignore", over="ignore"):
+        F = z @ M0.T + qs
+        fin = np.isfinite(z).all(axis=1) & np.isfinite(F).all(axis=1)
+        rn = np.where(
+            fin, np.abs(z - np.clip(z - F, ls, us)).max(axis=1), np.inf)
+        Fp = F + delta[:, None] * (z - zref)
+        rp = np.where(
+            fin, np.abs(z - np.clip(z - Fp, ls, us)).max(axis=1), np.inf)
+    return z, F, rn, rp
+
+
 def _classify(Z, F, l, u, band):
     """Active set from the natural map s = z − F (see module docstring)."""
     s = Z - F
@@ -276,6 +310,8 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     prev_l = jnp.zeros((S, n), dtype=bool)
     prev_u = jnp.zeros((S, n), dtype=bool)
     first = True
+    phase_t = {}
+    _t = time.perf_counter()
     while eg_iters < eg_budget:
         Z, r, prev_l, prev_u, changed = _eg_chunk(
             Mt32, Q32, L32, U32, Z, tau, eg_chunk, band32, prev_l, prev_u)
@@ -291,8 +327,12 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
             break
         first = False
 
+    phase_t["eg"] = time.perf_counter() - _t
+    _t = time.perf_counter()
     Z64 = np.asarray(Z, dtype=np.float64)
     _, F64 = _nat_resid_shared(M0, q, l64, u64, Z64)
+    phase_t["eg_fetch_hostgemm"] = time.perf_counter() - _t
+    _t = time.perf_counter()
 
     z_out = Z64.copy()
     done = np.zeros(S, dtype=bool)
@@ -380,18 +420,43 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         for ofs in range(0, todo.size, lane_chunk):
             sel = todo[ofs:ofs + lane_chunk]
             sl = slice(ofs, ofs + sel.size)
-            zc_d, Fc_d, rn_d, rp_d = _basis_solve_refine(
-                M32_d, M64_d, jnp.asarray(free[sl]),
-                jnp.asarray(bval[sl]), jnp.asarray(q[sel]),
-                jnp.asarray(l64[sel]), jnp.asarray(u64[sel]),
-                jnp.asarray(delta_lane[sel]), jnp.asarray(zref[sel]),
-                REFINES)
-            # ONE fetch per chunk: solution, natural map, audited residuals
-            zc, Fchunk, rn, rp = (np.asarray(a) for a in
-                                  jax.device_get((zc_d, Fc_d, rn_d, rp_d)))
-            lu_factored += sel.size
-            refine_gemms += (REFINES + 1) * sel.size
-            iters_out[sel] += 1
+            if sel.size <= 24:
+                # straggler TAIL on host f64 LAPACK: at these lane counts a
+                # device dispatch is tunnel-latency-bound (~0.3s measured vs
+                # ~40ms host) and exact f64 needs no refinement or f32
+                # singularity handling — the δ ladder converges in fewer
+                # rounds too
+                zc, Fchunk, rn, rp = _host_basis_solve(
+                    M0, free[sl], bval[sl], q[sel], l64[sel], u64[sel],
+                    delta_lane[sel], zref[sel])
+                host_solves += sel.size
+                iters_out[sel] += 1
+            else:
+                # bucket-pad the lane count (repeat lane 0, sliced off
+                # below) so shrinking rounds reuse one compiled shape
+                # (~0.6s per fresh shape over the remote-compile tunnel)
+                Cb = next(b for b in (64, 128, 256, lane_chunk)
+                          if b >= sel.size)
+                pad = Cb - sel.size
+
+                def _p(a):
+                    a = np.asarray(a)
+                    return (np.concatenate(
+                        [a, np.repeat(a[:1], pad, axis=0)]) if pad else a)
+                args = (M32_d, M64_d, jnp.asarray(_p(free[sl])),
+                        jnp.asarray(_p(bval[sl])), jnp.asarray(_p(q[sel])),
+                        jnp.asarray(_p(l64[sel])),
+                        jnp.asarray(_p(u64[sel])),
+                        jnp.asarray(_p(delta_lane[sel])),
+                        jnp.asarray(_p(zref[sel])))
+                zc_d, Fc_d, rn_d, rp_d = _basis_solve_refine(*args, REFINES)
+                lu_factored += sel.size
+                refine_gemms += (REFINES + 1) * sel.size
+                iters_out[sel] += 1
+                # ONE fetch per chunk: solution, map, audited residuals
+                zc, Fchunk, rn, rp = (
+                    np.asarray(a)[:sel.size] for a in
+                    jax.device_get((zc_d, Fc_d, rn_d, rp_d)))
             ok = np.isfinite(rn) & (rn <= tol)
             z_out[sel[ok]] = zc[ok]
             done[sel[ok]] = True
@@ -420,6 +485,9 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
                  f"sing={int((~ok & ~fin).sum())} "
                  f"dmax={delta_lane[sel].max():.1e}")
 
+    phase_t["newton_rounds"] = time.perf_counter() - _t
+    _t = time.perf_counter()
+
     # exact host f64 MIN-NORM solve for lanes whose f32 factorization
     # couldn't be refined: degenerate classifications give SINGULAR but
     # consistent basis systems (the solution face is an affine set) — lstsq
@@ -445,6 +513,9 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         done[todo[ok]] = True
         _dbg(f"host lstsq solve band={band:.1e} lanes={todo.size} "
              f"ok={int(ok.sum())}")
+
+    phase_t["host_lstsq"] = time.perf_counter() - _t
+    _t = time.perf_counter()
 
     # structured rung: these ensembles are QP-KKT systems — solve the
     # stragglers' underlying QPs with the batched ADMM kernel + dual
@@ -487,7 +558,10 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         _dbg(f"generic escalation (host) lanes={todo.size} "
              f"ok={int(ok.sum())}")
 
+    phase_t["escalations"] = time.perf_counter() - _t
+    _t = time.perf_counter()
     resid, _ = _nat_resid_shared(M0, q, l64, u64, z_out)
+    phase_t["final_audit"] = time.perf_counter() - _t
     converged = resid <= tol
     METRICS.bump("shared_kkt_solves", int(converged.sum()))
 
@@ -507,6 +581,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
             device_flops=eg_fl + lu_fl + tri_fl + ref_fl,
             device_bytes=4.0 * (eg_iters * (n * n + 3.0 * S * n)
                                 + lu_factored * 2.0 * n * n),
+            phase_t={k: round(v, 3) for k, v in phase_t.items()},
         ))
 
     return AVIResult(z=z_out, resid=resid, iters=iters_out,

@@ -61,7 +61,9 @@ class TestSharedRoute:
                     "host_solves", "device_flops", "device_bytes"):
             assert key in stats
         assert stats["device_flops"] > 0
-        assert stats["lu_factored"] >= 1
+        # small ensembles resolve through the host f64 tail; device LU
+        # batches only appear above the tail threshold (24 lanes)
+        assert stats["lu_factored"] + stats["host_solves"] >= 1
 
     def test_degenerate_lanes_escalate_to_conv(self):
         """T=8/num_obj=4 ensembles contain lanes whose EG classification is
