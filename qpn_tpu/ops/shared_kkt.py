@@ -106,6 +106,101 @@ def _eg_chunk(Mt, Q, L, U, Z, tau, steps, band, prev_l, prev_u):
     return Z, r, at_l, at_u, changed
 
 
+@functools.partial(jax.jit, static_argnames=("steps", "max_chunks"))
+def _eg_run(Mt, Q, L, U, Z0, tau, steps, max_chunks, band, switch,
+            stable_tol):
+    """The WHOLE extragradient pre-pass as one device dispatch: a
+    ``lax.while_loop`` over ``steps``-iteration chunks with the stopping
+    rule evaluated on device (residual < switch, or active-set labels
+    stable across consecutive chunks — the same rule the host loop in
+    :func:`_eg_chunk` mode applies).  One dispatch and one small fetch
+    replace ``max_chunks`` tunnel round trips; on the axon relay those
+    round trips cost as much as the GEMMs themselves."""
+
+    def chunk(Z):
+        def body(_, Z):
+            F = jnp.dot(Z, Mt, precision=_PREC) + Q
+            Zh = jnp.clip(Z - tau * F, L, U)
+            Fh = jnp.dot(Zh, Mt, precision=_PREC) + Q
+            return jnp.clip(Z - tau * Fh, L, U)
+        Z = jax.lax.fori_loop(0, steps, body, Z)
+        F = jnp.dot(Z, Mt, precision=_PREC) + Q
+        r = jnp.max(jnp.abs(Z - jnp.clip(Z - F, L, U)), axis=1)
+        s = Z - F
+        at_l = jnp.isfinite(L) & (s <= L + band)
+        at_u = jnp.isfinite(U) & (s >= U - band) & ~at_l
+        return Z, r, at_l, at_u
+
+    def cond(state):
+        _, _, _, _, k, stop = state
+        return (~stop) & (k < max_chunks)
+
+    def body(state):
+        Z, _, prev_l, prev_u, k, _ = state
+        Z, r, at_l, at_u = chunk(Z)
+        changed = jnp.sum((at_l != prev_l) | (at_u != prev_u))
+        # label stability only counts from the second chunk (the first
+        # comparison is against the pre-EG classification); stable_tol > 0
+        # tolerates that many flapping labels ensemble-wide — the policy
+        # rounds reclassify those lanes from their own basis solutions
+        stop = (jnp.max(r) < switch) | ((k >= 1) & (changed <= stable_tol))
+        return Z, r, at_l, at_u, k + 1, stop
+
+    S = Q.shape[0]
+    r0 = jnp.full((S,), jnp.inf, dtype=Z0.dtype)
+    zeros = jnp.zeros(Q.shape, dtype=bool)
+    state = (Z0, r0, zeros, zeros, jnp.int32(0), jnp.bool_(False))
+    Z, r, at_l, at_u, k, _ = jax.lax.while_loop(cond, body, state)
+    return Z, r, at_l, at_u, k
+
+
+@functools.partial(jax.jit, static_argnames=("refines",))
+def _round0_solve(M32, M64, at_l, at_u, Q64, L64, U64, refines):
+    """Fused δ=0 first policy round, entirely on device: the EG labels
+    (already device-resident from :func:`_eg_run`) become free/bound masks
+    and bound values ON DEVICE, so the host ships NOTHING for the round
+    that solves ~all lanes — round 3's driver uploaded ~25 MB of f64
+    masks/vectors per full-width round through the ~15 MB/s axon tunnel,
+    which cost more than the factorization itself.  Same math as
+    :func:`_basis_solve_refine` at δ = 0; returns (z, F, rn)."""
+    n = M32.shape[0]
+    free = ~(at_l | at_u)
+    l_fin = jnp.where(jnp.isfinite(L64), L64, 0.0)
+    u_fin = jnp.where(jnp.isfinite(U64), U64, 0.0)
+    bval = jnp.where(at_l, l_fin, u_fin)
+    eye32 = jnp.eye(n, dtype=M32.dtype)
+    A = jnp.where(free[:, :, None], M32[None], eye32)
+    rhs0 = jnp.where(free, -Q64, bval).astype(M32.dtype)
+    lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(A)
+    z = jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv),
+                                            rhs0).astype(jnp.float64)
+    Mt64 = M64.T
+
+    def refine(_, z):
+        Fp = jnp.dot(z, Mt64, precision=_PREC) + Q64
+        r = jnp.where(free, -Fp, bval - z)
+        dz = jax.vmap(jax.scipy.linalg.lu_solve)(
+            (lu, piv), r.astype(M32.dtype)).astype(jnp.float64)
+        good = jnp.isfinite(dz).all(axis=1)
+        return jnp.where(good[:, None], z + dz, z)
+
+    z = jax.lax.fori_loop(0, refines, refine, z)
+    F = jnp.dot(z, Mt64, precision=_PREC) + Q64
+    finite = jnp.isfinite(z).all(axis=1)
+    rn = jnp.max(jnp.abs(z - jnp.clip(z - F, L64, U64)), axis=1)
+    rn = jnp.where(finite, rn, jnp.inf)
+    # per-lane label fingerprint, hashed ON DEVICE so the host fetches one
+    # int32 per lane instead of the (C, n) masks — F itself is not
+    # returned either: the policy loop re-derives it on host for the few
+    # lanes that advance (a 66-lane GEMM) instead of pulling 5 MB through
+    # the tunnel
+    w = (jax.lax.iota(jnp.int32, n) * np.int32(-1640531527)) ^ np.int32(
+        0x5BD1E995)
+    h = (jnp.dot(at_l.astype(jnp.int32), w)
+         + jnp.dot(at_u.astype(jnp.int32), w * np.int32(40503)))
+    return z, rn, h
+
+
 @functools.partial(jax.jit, static_argnames=("refines",))
 def _basis_solve_refine(M32, M64, free, bval, q64, l64, u64, delta, zref,
                         refines):
@@ -260,7 +355,9 @@ def _escalate_generic(M0, q, l, u, z0, tol):
 
 def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
                          eg_budget: int = 60000, eg_chunk: int = 2000,
-                         lane_chunk: int = 512, newton_rounds: int = 40,
+                         eg_stable_tol: Optional[int] = None,
+                         lane_chunk: int = 1024, newton_rounds: int = 40,
+                         refine_passes: int = 2,
                          structure: Optional[dict] = None,
                          stats: Optional[dict] = None) -> AVIResult:
     """Solve a shared-matrix AVI ensemble ``M z + q ⟂ l ≤ z ≤ u``.
@@ -306,32 +403,58 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     scale = 1.0 + float(np.abs(q).max())
     switch = max(tol, 1e-5 * scale)
     band32 = np.float32(1e-4 * scale)
+    if eg_stable_tol is None:
+        # at trajectory scale a handful of flapping labels ensemble-wide
+        # shouldn't hold the whole EG pre-pass hostage (the policy rounds
+        # reclassify those lanes from their own basis solutions); small
+        # ensembles keep the exact-stability rule
+        eg_stable_tol = max(0, S // 128)
     eg_iters = 0
-    prev_l = jnp.zeros((S, n), dtype=bool)
-    prev_u = jnp.zeros((S, n), dtype=bool)
-    first = True
     phase_t = {}
     _t = time.perf_counter()
-    while eg_iters < eg_budget:
-        Z, r, prev_l, prev_u, changed = _eg_chunk(
-            Mt32, Q32, L32, U32, Z, tau, eg_chunk, band32, prev_l, prev_u)
-        eg_iters += eg_chunk
-        r_host = np.asarray(r)
-        _dbg(f"eg {eg_iters} iters, max resid {r_host.max():.3e} "
-             f"(switch {switch:.1e}, labels changed {int(changed)})")
-        if float(r_host.max()) < switch:
-            break
-        # active-set stability is the real stopping criterion: the terminal
-        # solve only needs the right classification, not a tight residual
-        if not first and int(changed) == 0:
-            break
-        first = False
+    # f64 problem data device-resident for the fused first policy round —
+    # device_put is async, so these ~15 MB overlap the EG GEMMs instead of
+    # serializing a per-round upload behind them
+    Q64_d = jax.device_put(q)
+    L64_d = jax.device_put(l64)
+    U64_d = jax.device_put(u64)
+
+    if _DEBUG:
+        # chunked host loop: one round trip per chunk, but per-chunk
+        # residual/stability prints for forensics
+        prev_l = jnp.zeros((S, n), dtype=bool)
+        prev_u = jnp.zeros((S, n), dtype=bool)
+        first = True
+        while eg_iters < eg_budget:
+            Z, r, prev_l, prev_u, changed = _eg_chunk(
+                Mt32, Q32, L32, U32, Z, tau, eg_chunk, band32,
+                prev_l, prev_u)
+            eg_iters += eg_chunk
+            r_host = np.asarray(r)
+            _dbg(f"eg {eg_iters} iters, max resid {r_host.max():.3e} "
+                 f"(switch {switch:.1e}, labels changed {int(changed)})")
+            if float(r_host.max()) < switch:
+                break
+            # active-set stability is the real stopping criterion: the
+            # terminal solve only needs the right classification
+            if not first and int(changed) <= eg_stable_tol:
+                break
+            first = False
+        at_l_d, at_u_d = prev_l, prev_u
+    else:
+        # production path: the whole stopping loop runs on device as ONE
+        # dispatch (lax.while_loop over chunks) — same stopping rule,
+        # max_chunks·(round-trip latency) less wall time
+        max_chunks = max(1, eg_budget // eg_chunk)
+        Z, _, at_l_d, at_u_d, k = _eg_run(
+            Mt32, Q32, L32, U32, Z, tau, eg_chunk, max_chunks, band32,
+            np.float32(switch), np.int32(eg_stable_tol))
+        eg_iters = int(k) * eg_chunk
 
     phase_t["eg"] = time.perf_counter() - _t
     _t = time.perf_counter()
     Z64 = np.asarray(Z, dtype=np.float64)
-    _, F64 = _nat_resid_shared(M0, q, l64, u64, Z64)
-    phase_t["eg_fetch_hostgemm"] = time.perf_counter() - _t
+    phase_t["eg_fetch"] = time.perf_counter() - _t
     _t = time.perf_counter()
 
     z_out = Z64.copy()
@@ -340,7 +463,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     lu_factored = 0
     refine_gemms = 0
     host_solves = 0
-    REFINES = 3
+    REFINES = refine_passes
 
     # finite stand-ins for ±inf bounds in bval (never selected: an infinite
     # bound can't be active)
@@ -367,7 +490,11 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     #     outer step, convergent for monotone F) and shrinks δ.  At the
     #     fixed point the prox solution solves the original problem exactly,
     #     which the original-residual audit rn certifies.
-    Zc, Fc = Z64.copy(), F64.copy()
+    # Fc is filled lazily: round-0 advances write it from their own basis
+    # solutions, singular round-0 lanes get a small host GEMM afterwards —
+    # the full-ensemble natural-map GEMM the round-3 driver did here served
+    # almost no lane that actually consumed it
+    Zc, Fc = Z64.copy(), np.zeros_like(Z64)
     band_lane = np.full(S, 1e-4 * scale)
     delta_lane = np.zeros(S)
     zref = Z64.copy()
@@ -393,7 +520,86 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         zref[lane] = Zc[lane]
         seen_cls[lane].clear()
 
-    for rd in range(newton_rounds):
+    def _absorb(sel, zc, Fchunk, rn, rp, rd):
+        """Per-chunk policy-round bookkeeping: accept audited lanes, adopt
+        finite solutions as the next classification point, recenter the
+        prox reference where the subproblem converged, escalate singular
+        factorizations."""
+        ok = np.isfinite(rn) & (rn <= tol)
+        z_out[sel[ok]] = zc[ok]
+        done[sel[ok]] = True
+        fin = np.isfinite(rn)
+        # inner policy step: adopt every finite basis solution as the next
+        # classification point (no descent requirement — Newton on the
+        # natural map is not monotone; cycling is caught by the
+        # fingerprints) and classify it with a ~zero band: its sign split
+        # is exact
+        adv = ~ok & fin
+        Zc[sel[adv]] = zc[adv]
+        Fc[sel[adv]] = Fchunk[adv]
+        band_lane[sel[adv]] = 1e-9 * scale
+        # outer prox step: the prox subproblem is solved (rp ≤ tol) but
+        # the original residual isn't — recenter z_ref and shrink δ
+        rec = adv & (rp <= max(tol, 1e-10 * scale))
+        for lane_i in sel[rec]:
+            zref[lane_i] = Zc[lane_i]
+            seen_cls[lane_i].clear()
+        delta_lane[sel[rec]] = np.maximum(
+            delta_lane[sel[rec]] * 0.3, delta_min)
+        # singular factorization even with this δ: escalate the ladder
+        for lane_i in sel[~ok & ~fin]:
+            _bump_rung(lane_i)
+        _dbg(f"newton rd={rd} lanes={sel.size} ok={int(ok.sum())} "
+             f"adv={int(adv.sum())} recenter={int(rec.sum())} "
+             f"sing={int((~ok & ~fin).sum())} "
+             f"dmax={delta_lane[sel].max():.1e}")
+
+    # --- fused first policy round (δ = 0, all lanes) -------------------
+    # Labels, masks, and bound values never leave the device: the EG
+    # classification feeds the basis solve directly, the host fetches only
+    # the audited f64 results.  This is the round that solves ~all lanes;
+    # round 3's host-driven version re-uploaded ~25 MB of f64 vectors for
+    # it through the tunnel.
+    sing0: list = []
+    for ofs in range(0, S, lane_chunk):
+        sel = np.arange(ofs, min(ofs + lane_chunk, S))
+        _t0 = time.perf_counter()
+        zc_d, rn_d, h_d = _round0_solve(
+            M32_d, M64_d, at_l_d[ofs:ofs + sel.size],
+            at_u_d[ofs:ofs + sel.size], Q64_d[ofs:ofs + sel.size],
+            L64_d[ofs:ofs + sel.size], U64_d[ofs:ofs + sel.size], REFINES)
+        lu_factored += sel.size
+        refine_gemms += (REFINES + 1) * sel.size
+        iters_out[sel] += 1
+        rn = np.asarray(rn_d)    # tiny fetch; blocks on the compute
+        phase_t["round0_compute"] = (
+            phase_t.get("round0_compute", 0.0) + time.perf_counter() - _t0)
+        _t0 = time.perf_counter()
+        zc, hs = (np.asarray(a) for a in jax.device_get((zc_d, h_d)))
+        phase_t["round0_fetch"] = (
+            phase_t.get("round0_fetch", 0.0) + time.perf_counter() - _t0)
+        # record the round-0 fingerprints so a lane re-presenting the same
+        # classification later counts as cycling (device hash, tagged so it
+        # can never collide with the host loop's Python hashes)
+        for k, lane in enumerate(sel):
+            seen_cls[lane].add(("dev", int(hs[k])))
+        # F only for the lanes that will advance: a small host GEMM
+        # replaces a 5 MB tunnel fetch
+        fin = np.isfinite(rn)
+        adv = fin & (rn > tol)
+        Fchunk = np.zeros_like(zc)
+        if adv.any():
+            Fchunk[adv] = zc[adv] @ M0.T + q[sel[adv]]
+        sing0.extend(sel[~fin].tolist())
+        _absorb(sel, zc, Fchunk, rn, rn, 0)   # δ=0 ⇒ prox residual = rn
+    # lanes whose round-0 factorization was singular keep the EG iterate as
+    # their classification point — fill their natural map now (the full-
+    # ensemble F64 host GEMM this replaces cost more than these few lanes)
+    if sing0:
+        s0 = np.asarray(sing0, dtype=np.int64)
+        Fc[s0] = Zc[s0] @ M0.T + q[s0]
+
+    for rd in range(1, newton_rounds):
         todo = np.flatnonzero(~done & active)
         if todo.size == 0:
             break
@@ -435,7 +641,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
                 # bucket-pad the lane count (repeat lane 0, sliced off
                 # below) so shrinking rounds reuse one compiled shape
                 # (~0.6s per fresh shape over the remote-compile tunnel)
-                Cb = next(b for b in (64, 128, 256, lane_chunk)
+                Cb = next(b for b in (64, 128, 256, 512, lane_chunk)
                           if b >= sel.size)
                 pad = Cb - sel.size
 
@@ -457,33 +663,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
                 zc, Fchunk, rn, rp = (
                     np.asarray(a)[:sel.size] for a in
                     jax.device_get((zc_d, Fc_d, rn_d, rp_d)))
-            ok = np.isfinite(rn) & (rn <= tol)
-            z_out[sel[ok]] = zc[ok]
-            done[sel[ok]] = True
-            fin = np.isfinite(rn)
-            # inner policy step: adopt every finite basis solution as the
-            # next classification point (no descent requirement — Newton on
-            # the natural map is not monotone; cycling is caught above) and
-            # classify it with a ~zero band: its sign split is exact
-            adv = ~ok & fin
-            Zc[sel[adv]] = zc[adv]
-            Fc[sel[adv]] = Fchunk[adv]
-            band_lane[sel[adv]] = 1e-9 * scale
-            # outer prox step: the prox subproblem is solved (rp ≤ tol) but
-            # the original residual isn't — recenter z_ref and shrink δ
-            rec = adv & (rp <= max(tol, 1e-10 * scale))
-            for lane_i in sel[rec]:
-                zref[lane_i] = Zc[lane_i]
-                seen_cls[lane_i].clear()
-            delta_lane[sel[rec]] = np.maximum(
-                delta_lane[sel[rec]] * 0.3, delta_min)
-            # singular factorization even with this δ: escalate the ladder
-            for lane_i in sel[~ok & ~fin]:
-                _bump_rung(lane_i)
-            _dbg(f"newton rd={rd} lanes={sel.size} ok={int(ok.sum())} "
-                 f"adv={int(adv.sum())} recenter={int(rec.sum())} "
-                 f"sing={int((~ok & ~fin).sum())} "
-                 f"dmax={delta_lane[sel].max():.1e}")
+            _absorb(sel, zc, Fchunk, rn, rp, rd)
 
     phase_t["newton_rounds"] = time.perf_counter() - _t
     _t = time.perf_counter()

@@ -138,6 +138,21 @@ class TestDesignScale:
         assert (it >= stats["eg_iters"]).all()
         assert (it > stats["eg_iters"]).any()   # basis rounds counted
 
+    def test_trajectory_scale_T16_n1216(self):
+        """Double-horizon regression (T=16, n≈1216 — the module docstring's
+        upper trajectory class): the fused round-0 + ladder certify every
+        lane at 1e-8 with no generic escalation."""
+        from qpn_tpu.utils.metrics import METRICS
+        b = scenario_batch_gavis(num_scenarios=8, T=16, num_obj=4,
+                                 num_poly_faces=4, seed=7)
+        assert b["M"].shape[1] >= 1200
+        c0 = METRICS.counters.get("shared_kkt_generic_escalation", 0)
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, structure=b["structure"])
+        assert bool(np.asarray(res.converged).all())
+        assert float(np.asarray(res.resid).max()) <= 1e-8
+        assert METRICS.counters.get("shared_kkt_generic_escalation", 0) == c0
+
     def test_escalation_rung_runs_and_certifies(self, monkeypatch):
         """The generic-escalation rung (the one that crashed the TPU worker
         in round 3) solves lanes the cheap rungs were denied: disable the
