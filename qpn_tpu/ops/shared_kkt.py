@@ -106,9 +106,9 @@ def _eg_chunk(Mt, Q, L, U, Z, tau, steps, band, prev_l, prev_u):
     return Z, r, at_l, at_u, changed
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "max_chunks"))
+@functools.partial(jax.jit, static_argnames=("steps", "max_chunks", "prec"))
 def _eg_run(Mt, Q, L, U, Z0, tau, steps, max_chunks, band, switch,
-            stable_tol):
+            stable_tol, prec=_PREC):
     """The WHOLE extragradient pre-pass as one device dispatch: a
     ``lax.while_loop`` over ``steps``-iteration chunks with the stopping
     rule evaluated on device (residual < switch, or active-set labels
@@ -119,12 +119,12 @@ def _eg_run(Mt, Q, L, U, Z0, tau, steps, max_chunks, band, switch,
 
     def chunk(Z):
         def body(_, Z):
-            F = jnp.dot(Z, Mt, precision=_PREC) + Q
+            F = jnp.dot(Z, Mt, precision=prec) + Q
             Zh = jnp.clip(Z - tau * F, L, U)
-            Fh = jnp.dot(Zh, Mt, precision=_PREC) + Q
+            Fh = jnp.dot(Zh, Mt, precision=prec) + Q
             return jnp.clip(Z - tau * Fh, L, U)
         Z = jax.lax.fori_loop(0, steps, body, Z)
-        F = jnp.dot(Z, Mt, precision=_PREC) + Q
+        F = jnp.dot(Z, Mt, precision=prec) + Q
         r = jnp.max(jnp.abs(Z - jnp.clip(Z - F, L, U)), axis=1)
         s = Z - F
         at_l = jnp.isfinite(L) & (s <= L + band)
@@ -356,9 +356,11 @@ def _escalate_generic(M0, q, l, u, z0, tol):
 def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
                          eg_budget: int = 60000, eg_chunk: int = 2000,
                          eg_stable_tol: Optional[int] = None,
+                         eg_prec=jax.lax.Precision.HIGH,
                          lane_chunk: int = 1024, newton_rounds: int = 40,
                          refine_passes: int = 2,
                          structure: Optional[dict] = None,
+                         mesh=None,
                          stats: Optional[dict] = None) -> AVIResult:
     """Solve a shared-matrix AVI ensemble ``M z + q ⟂ l ≤ z ≤ u``.
 
@@ -367,6 +369,12 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     ensembles are emitted unpadded); callers with padding use the generic
     route.  Returns an audited :class:`AVIResult`; ``stats`` (if given) is
     filled with the device FLOP ledger and phase iteration counts.
+
+    ``eg_prec`` defaults to ``Precision.HIGH`` (3-pass bf16 on the MXU):
+    the EG pre-pass only needs a stable active set, every acceptance is
+    gated by the f64 natural-residual audit, and on chip the measured
+    label quality is identical to HIGHEST at ~2/3 the GEMM cost (CPU
+    ignores the setting entirely).
     """
     q = np.asarray(q, dtype=np.float64)
     S, n = q.shape
@@ -391,14 +399,29 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     Lip = float(np.sqrt(max(np.linalg.norm(M0.T @ (M0 @ v)), 1e-24)))
     tau = np.float32(0.9 / max(Lip, 1e-12))
 
+    if mesh is not None and S % mesh.devices.size != 0:
+        _dbg(f"mesh ignored: S={S} not divisible by {mesh.devices.size}")
+        mesh = None
+    if mesh is not None:
+        # scenario-data-parallel over the mesh: lane math is row-local
+        # (per-lane GEMV rows, per-lane LU), so S shards across devices
+        # with M replicated and ZERO collectives in the compute path —
+        # results are lane-identical to the single-device route
+        from ..parallel.mesh import replicated, scenario_sharding
+        _shS, _shR = scenario_sharding(mesh), replicated(mesh)
+        _putS = functools.partial(jax.device_put, device=_shS)
+        _putR = functools.partial(jax.device_put, device=_shR)
+    else:
+        _putS = _putR = jnp.asarray
+
     f32 = np.float32
-    Mt32 = jnp.asarray(M0.T, dtype=f32)
-    M32_d = jnp.asarray(M0, dtype=f32)
-    M64_d = jnp.asarray(M0, dtype=np.float64)
-    Q32 = jnp.asarray(q, dtype=f32)
-    L32 = jnp.asarray(l64, dtype=f32)
-    U32 = jnp.asarray(u64, dtype=f32)
-    Z = jnp.clip(jnp.zeros((S, n), dtype=f32), L32, U32)
+    Mt32 = _putR(np.asarray(M0.T, dtype=f32))
+    M32_d = _putR(np.asarray(M0, dtype=f32))
+    M64_d = _putR(M0)
+    Q32 = _putS(np.asarray(q, dtype=f32))
+    L32 = _putS(np.asarray(l64, dtype=f32))
+    U32 = _putS(np.asarray(u64, dtype=f32))
+    Z = jnp.clip(_putS(np.zeros((S, n), dtype=f32)), L32, U32)
 
     scale = 1.0 + float(np.abs(q).max())
     switch = max(tol, 1e-5 * scale)
@@ -415,9 +438,9 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     # f64 problem data device-resident for the fused first policy round —
     # device_put is async, so these ~15 MB overlap the EG GEMMs instead of
     # serializing a per-round upload behind them
-    Q64_d = jax.device_put(q)
-    L64_d = jax.device_put(l64)
-    U64_d = jax.device_put(u64)
+    Q64_d = _putS(q)
+    L64_d = _putS(l64)
+    U64_d = _putS(u64)
 
     if _DEBUG:
         # chunked host loop: one round trip per chunk, but per-chunk
@@ -448,7 +471,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         max_chunks = max(1, eg_budget // eg_chunk)
         Z, _, at_l_d, at_u_d, k = _eg_run(
             Mt32, Q32, L32, U32, Z, tau, eg_chunk, max_chunks, band32,
-            np.float32(switch), np.int32(eg_stable_tol))
+            np.float32(switch), np.int32(eg_stable_tol), prec=eg_prec)
         eg_iters = int(k) * eg_chunk
 
     phase_t["eg"] = time.perf_counter() - _t
@@ -520,12 +543,16 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         zref[lane] = Zc[lane]
         seen_cls[lane].clear()
 
+    progress_rd = [0]    # last round that accepted a lane (stall detector)
+
     def _absorb(sel, zc, Fchunk, rn, rp, rd):
         """Per-chunk policy-round bookkeeping: accept audited lanes, adopt
         finite solutions as the next classification point, recenter the
         prox reference where the subproblem converged, escalate singular
         factorizations."""
         ok = np.isfinite(rn) & (rn <= tol)
+        if ok.any():
+            progress_rd[0] = rd
         z_out[sel[ok]] = zc[ok]
         done[sel[ok]] = True
         fin = np.isfinite(rn)
@@ -561,6 +588,10 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     # round 3's host-driven version re-uploaded ~25 MB of f64 vectors for
     # it through the tunnel.
     sing0: list = []
+    if mesh is not None:
+        # sharded round-0 runs as one call: each device factorizes its own
+        # S/D lanes; mid-axis host chunking would break the sharding
+        lane_chunk = S
     for ofs in range(0, S, lane_chunk):
         sel = np.arange(ofs, min(ofs + lane_chunk, S))
         _t0 = time.perf_counter()
@@ -602,6 +633,15 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     for rd in range(1, newton_rounds):
         todo = np.flatnonzero(~done & active)
         if todo.size == 0:
+            break
+        if rd - progress_rd[0] >= 8:
+            # stall: no lane has certified for 8 consecutive rounds — the
+            # remaining lanes are ladder-cyclers; hand them to the
+            # escalation rungs (lstsq → structured ADMM → generic) instead
+            # of paying ~20 more fruitless classify/solve rounds (measured
+            # on the T=8 ensemble: past this point the ladder certifies
+            # ~0 further lanes)
+            _dbg(f"newton stall at rd={rd}: {todo.size} lanes to rungs")
             break
         # classify from the PROX natural map s = z − (F + δ(z − z_ref));
         # for δ=0 lanes this is the original map

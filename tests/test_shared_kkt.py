@@ -208,6 +208,38 @@ class TestDesignScale:
                                    atol=1e-6)
 
 
+class TestMeshSharded:
+    def test_mesh_sharded_matches_single_device(self):
+        """S shards over the (scenario, branch) mesh with M replicated and
+        no collectives in the compute path — lane results must match the
+        unsharded route exactly (same kernels, same per-lane math)."""
+        import jax
+        from qpn_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device (virtual) mesh")
+        b = scenario_batch_gavis(num_scenarios=32, T=2, num_obj=1,
+                                 num_poly_faces=4, seed=2)
+        ref = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8)
+        mesh = make_mesh()
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, mesh=mesh)
+        assert bool(np.asarray(res.converged).all())
+        np.testing.assert_allclose(np.asarray(res.z), np.asarray(ref.z),
+                                   atol=1e-9)
+
+    def test_mesh_falls_back_on_indivisible_batch(self):
+        import jax
+        from qpn_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device (virtual) mesh")
+        b = scenario_batch_gavis(num_scenarios=9, T=2, num_obj=1,
+                                 num_poly_faces=4, seed=2)
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, mesh=make_mesh())
+        assert bool(np.asarray(res.converged).all())
+
+
 class TestPropertyRandomSharedEnsembles:
     def test_random_strongly_monotone_matches_generic(self, rng):
         """Random shared-M ensembles (PSD + skew + δI → unique solution):
