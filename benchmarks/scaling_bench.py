@@ -51,6 +51,21 @@ if mode == "superstep":
         np.asarray(out["keep"])
     dt = (time.perf_counter() - t0) / reps
     conv = float(np.asarray(out["converged_frac"]))
+elif mode == "shared":
+    # shared-matrix trajectory route, scenario axis sharded over the mesh
+    # (GEMM-extragradient-dominated at large S: the compute-bound batch
+    # the efficiency north star is about)
+    from qpn_tpu.ops.shared_kkt import solve_kkt_avi_shared
+    run = lambda: solve_kkt_avi_shared(
+        batch["M"], batch["q"], batch["l"], batch["u"], batch["mask"],
+        tol=1e-8, mesh=mesh if D > 1 else None,
+        structure=batch["structure"])
+    out = run()                     # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    dt = (time.perf_counter() - t0) / reps
+    conv = float(np.asarray(out.converged).mean())
 else:
     from qpn_tpu.parallel.lockstep import solve_many_lockstep
     import qpn_tpu as qt
@@ -69,7 +84,17 @@ print(json.dumps({"devices": D, "wall_s": dt, "throughput": S / dt,
 """
 
 
-def measure(mode: str, devices: int, S: int, reps: int) -> dict:
+def measure(mode: str, devices: int, S: int, reps: int,
+            pin_cores: bool = False) -> dict:
+    """Run one (mode, device-count) point in a fresh subprocess.
+
+    ``pin_cores`` pins the subprocess to ``min(devices, NCORES)`` physical
+    cores (taskset).  This is the honest strong-scaling control for
+    GEMM-dominated modes: XLA:CPU's intra-op threadpool already spreads a
+    single virtual device's matmuls across every core, so an unpinned D=1
+    baseline is secretly an NCORES-wide run and the ladder under-reports
+    the sharding efficiency that transfers to real one-device-per-chip
+    meshes."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # drop any inherited device-count flag (tests set one globally in
@@ -80,20 +105,24 @@ def measure(mode: str, devices: int, S: int, reps: int) -> dict:
     env["XLA_FLAGS"] = (
         f"{inherited} --xla_force_host_platform_device_count={devices}"
     ).strip()
+    cmd = [sys.executable, "-c", _WORKER, mode, str(S), str(reps)]
+    if pin_cores:
+        cores = ",".join(str(i) for i in range(min(devices, NCORES)))
+        cmd = ["taskset", "-c", cores] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", _WORKER, mode, str(S), str(reps)],
-        capture_output=True, text=True, env=env, timeout=1800,
+        cmd, capture_output=True, text=True, env=env, timeout=1800,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     if out.returncode != 0:
         raise RuntimeError(f"{mode}@{devices}: {out.stderr[-2000:]}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def ladder(mode: str, S: int, reps: int, counts=(1, 2, 4, 8)) -> dict:
+def ladder(mode: str, S: int, reps: int, counts=(1, 2, 4, 8),
+           pin_cores: bool = False) -> dict:
     rows = {}
     base = None
     for d in counts:
-        r = measure(mode, d, S, reps)
+        r = measure(mode, d, S, reps, pin_cores=pin_cores)
         if base is None:
             base = r["throughput"]
         ideal = min(d, NCORES)
@@ -115,6 +144,8 @@ def main():
     result = {
         "ncores": NCORES,
         "superstep": ladder("superstep", S, reps),
+        "shared": ladder("shared", 1024 if quick else 4096, reps,
+                         counts=(1, 2, 4), pin_cores=True),
         "lockstep": ladder("lockstep", 8 if quick else 16, 1),
     }
     print(json.dumps(result))

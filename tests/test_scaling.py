@@ -46,3 +46,22 @@ def test_superstep_scaling_efficiency():
     assert keep >= 0.70, (
         f"8-device oversubscribed throughput kept only {keep:.2f} of "
         f"the {min(8, NCORES)}-device rate — sharding overhead regressed")
+
+
+@pytest.mark.slow
+def test_shared_route_scaling_efficiency():
+    """Scenario-sharded shared-KKT route: GEMM-dominated, zero compute-path
+    collectives — with the equal-cores-per-device control (pin_cores) the
+    mesh sharding must retain ≥80% strong-scaling efficiency at D=ncores
+    (measured ~1.0, slightly superlinear from per-shard cache locality)."""
+    D = min(4, NCORES)
+    eff = 0.0
+    for attempt in range(3):
+        base = measure("shared", 1, 4096, 2, pin_cores=True)
+        assert base["conv"] == 1.0
+        at_d = measure("shared", D, 4096, 2, pin_cores=True)
+        assert at_d["conv"] == 1.0
+        eff = max(eff, (at_d["throughput"] / base["throughput"]) / D)
+        if eff >= 0.80:
+            break
+    assert eff >= 0.80, f"shared-route scaling efficiency at D={D}: {eff:.2f}"
