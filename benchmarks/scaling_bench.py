@@ -66,6 +66,18 @@ elif mode == "shared":
         out = run()
     dt = (time.perf_counter() - t0) / reps
     conv = float(np.asarray(out.converged).mean())
+elif mode == "procpool":
+    # process-per-worker FULL solve() ensembles (parallel/procpool.py):
+    # D is the worker count; startup (spawn + import + per-worker compile)
+    # is deliberately inside the measurement — it is the real cost a user
+    # pays, amortized over the ensemble
+    from qpn_tpu.parallel.procpool import solve_many_processes
+    import qpn_tpu as qt
+    qpns = [qt.setup("robust_avoid_simple") for _ in range(S)]
+    t0 = time.perf_counter()
+    rets = solve_many_processes(qpns, n_workers=D)
+    dt = (time.perf_counter() - t0) / 1
+    conv = float(np.mean([r.solved for r in rets]))
 else:
     from qpn_tpu.parallel.lockstep import solve_many_lockstep
     import qpn_tpu as qt
@@ -146,6 +158,8 @@ def main():
         "superstep": ladder("superstep", S, reps),
         "shared": ladder("shared", 1024 if quick else 4096, reps,
                          counts=(1, 2, 4), pin_cores=True),
+        "procpool": ladder("procpool", 24 if quick else 96, 1,
+                           counts=(1, NCORES)),
         "lockstep": ladder("lockstep", 8 if quick else 16, 1),
     }
     print(json.dumps(result))

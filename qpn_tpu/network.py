@@ -153,6 +153,28 @@ class QPNet:
     def set_options(self, **kwargs) -> None:
         set_options(self.options, **kwargs)
 
+    # -- pickling ----------------------------------------------------------
+    def __getstate__(self):
+        """Pickle support for process-parallel ensembles
+        (parallel/procpool.py): model setups commonly attach setup-local
+        lambdas as ``visualization_function`` (the reference does the same,
+        e.g. examples/simple_bilevel.jl's visualize closure) — presentation
+        hooks, not solve inputs, so an unpicklable one is dropped rather
+        than poisoning the whole network."""
+        import pickle
+        state = dict(self.__dict__)
+        for key in ("visualization_function",):
+            try:
+                pickle.dumps(state[key])
+            except Exception:
+                state[key] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        if self.visualization_function is None:
+            self.visualization_function = lambda x: None
+
     # -- structure queries -------------------------------------------------
     def num_levels(self) -> int:  # programs.jl:330-332
         return len(self.network_depth_map)
