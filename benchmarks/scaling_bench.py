@@ -117,10 +117,20 @@ def measure(mode: str, devices: int, S: int, reps: int,
     env["XLA_FLAGS"] = (
         f"{inherited} --xla_force_host_platform_device_count={devices}"
     ).strip()
+    if pin_cores:
+        # one compute thread per virtual device: otherwise each device
+        # still spawns an NCORES-wide intra-op pool that time-slices the
+        # pinned cores (measured ~11% thrash at D=1, which would deflate
+        # the baseline and flatter the ladder)
+        env["XLA_FLAGS"] += " --xla_cpu_multi_thread_eigen=false"
     cmd = [sys.executable, "-c", _WORKER, mode, str(S), str(reps)]
     if pin_cores:
-        cores = ",".join(str(i) for i in range(min(devices, NCORES)))
-        cmd = ["taskset", "-c", cores] + cmd
+        import shutil
+        if shutil.which("taskset"):
+            cores = ",".join(str(i) for i in range(min(devices, NCORES)))
+            cmd = ["taskset", "-c", cores] + cmd
+        # no taskset (non-Linux): fall back to an unpinned run — the
+        # ladder then under-reports efficiency rather than erroring
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, timeout=1800,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

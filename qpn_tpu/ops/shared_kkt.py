@@ -79,29 +79,33 @@ _PREC = jax.lax.Precision.HIGHEST
 #  EG pre-pass: chunked fori of (S,n)@(n,n) GEMMs
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("steps",))
-def _eg_chunk(Mt, Q, L, U, Z, tau, steps, band, prev_l, prev_u):
-    """``steps`` extragradient iterations on the whole ensemble.
-
-    Mt = M.T as f32 (so lanes are rows: F = Z @ Mt + Q).  Returns the
-    advanced iterate, the per-lane natural residual ‖z − Π(z − F)‖∞, the
-    active-set classification from the natural map s = z − F (the terminal
-    solve's stopping signal), and how many labels changed vs the previous
-    chunk — all computed ON DEVICE so the driver's stability loop costs no
-    host GEMMs."""
+def _eg_steps(Mt, Q, L, U, Z, tau, steps, band, prec):
+    """``steps`` extragradient iterations + classification, shared by the
+    debug chunk loop and the production while_loop (ONE body — the two
+    paths must run the same numeric pipeline)."""
 
     def body(_, Z):
-        F = jnp.dot(Z, Mt, precision=_PREC) + Q
+        F = jnp.dot(Z, Mt, precision=prec) + Q
         Zh = jnp.clip(Z - tau * F, L, U)
-        Fh = jnp.dot(Zh, Mt, precision=_PREC) + Q
+        Fh = jnp.dot(Zh, Mt, precision=prec) + Q
         return jnp.clip(Z - tau * Fh, L, U)
 
     Z = jax.lax.fori_loop(0, steps, body, Z)
-    F = jnp.dot(Z, Mt, precision=_PREC) + Q
+    F = jnp.dot(Z, Mt, precision=prec) + Q
     r = jnp.max(jnp.abs(Z - jnp.clip(Z - F, L, U)), axis=1)
     s = Z - F
     at_l = jnp.isfinite(L) & (s <= L + band)
     at_u = jnp.isfinite(U) & (s >= U - band) & ~at_l
+    return Z, r, at_l, at_u
+
+
+@functools.partial(jax.jit, static_argnames=("steps", "prec"))
+def _eg_chunk(Mt, Q, L, U, Z, tau, steps, band, prev_l, prev_u,
+              prec=_PREC):
+    """One debug-mode chunk: advance ``steps`` EG iterations and report the
+    residual / classification / label churn to the host (same pipeline as
+    :func:`_eg_run`, one tunnel round trip per chunk)."""
+    Z, r, at_l, at_u = _eg_steps(Mt, Q, L, U, Z, tau, steps, band, prec)
     changed = jnp.sum((at_l != prev_l) | (at_u != prev_u))
     return Z, r, at_l, at_u, changed
 
@@ -117,27 +121,14 @@ def _eg_run(Mt, Q, L, U, Z0, tau, steps, max_chunks, band, switch,
     replace ``max_chunks`` tunnel round trips; on the axon relay those
     round trips cost as much as the GEMMs themselves."""
 
-    def chunk(Z):
-        def body(_, Z):
-            F = jnp.dot(Z, Mt, precision=prec) + Q
-            Zh = jnp.clip(Z - tau * F, L, U)
-            Fh = jnp.dot(Zh, Mt, precision=prec) + Q
-            return jnp.clip(Z - tau * Fh, L, U)
-        Z = jax.lax.fori_loop(0, steps, body, Z)
-        F = jnp.dot(Z, Mt, precision=prec) + Q
-        r = jnp.max(jnp.abs(Z - jnp.clip(Z - F, L, U)), axis=1)
-        s = Z - F
-        at_l = jnp.isfinite(L) & (s <= L + band)
-        at_u = jnp.isfinite(U) & (s >= U - band) & ~at_l
-        return Z, r, at_l, at_u
-
     def cond(state):
         _, _, _, _, k, stop = state
         return (~stop) & (k < max_chunks)
 
     def body(state):
         Z, _, prev_l, prev_u, k, _ = state
-        Z, r, at_l, at_u = chunk(Z)
+        Z, r, at_l, at_u = _eg_steps(Mt, Q, L, U, Z, tau, steps, band,
+                                     prec)
         changed = jnp.sum((at_l != prev_l) | (at_u != prev_u))
         # label stability only counts from the second chunk (the first
         # comparison is against the pre-EG classification); stable_tol > 0
@@ -194,11 +185,7 @@ def _round0_solve(M32, M64, at_l, at_u, Q64, L64, U64, refines):
     # returned either: the policy loop re-derives it on host for the few
     # lanes that advance (a 66-lane GEMM) instead of pulling 5 MB through
     # the tunnel
-    w = (jax.lax.iota(jnp.int32, n) * np.int32(-1640531527)) ^ np.int32(
-        0x5BD1E995)
-    h = (jnp.dot(at_l.astype(jnp.int32), w)
-         + jnp.dot(at_u.astype(jnp.int32), w * np.int32(40503)))
-    return z, rn, h
+    return z, rn, _label_hash_dev(at_l, at_u)
 
 
 @functools.partial(jax.jit, static_argnames=("refines",))
@@ -304,6 +291,42 @@ def _classify(Z, F, l, u, band):
     at_l = np.isfinite(l) & (s <= l + band)
     at_u = np.isfinite(u) & (s >= u - band) & ~at_l
     return at_l, at_u
+
+
+def _label_hash_dev(at_l, at_u):
+    """Device-side per-lane label fingerprint (int32 wrap-around linear
+    hash).  :func:`_label_hash` is its bit-equal host mirror — both feed
+    the SAME cycling-fingerprint stream (parity-tested)."""
+    n = at_l.shape[-1]
+    w = (jax.lax.iota(jnp.int32, n) * np.int32(-1640531527)) ^ np.int32(
+        0x5BD1E995)
+    return (jnp.dot(at_l.astype(jnp.int32), w)
+            + jnp.dot(at_u.astype(jnp.int32), w * np.int32(40503)))
+
+
+def _wrap32(x):
+    """Wrap int64 values to int32 two's complement (mod 2³²)."""
+    return (((np.asarray(x, dtype=np.int64) + 2**31) % 2**32)
+            - 2**31).astype(np.int32)
+
+
+def _hash_weights(n):
+    """Host copy of the per-row hash weights :func:`_round0_solve` builds
+    on device (int32 wrap-around arithmetic mirrored via int64+mod), so a
+    classification hashed on device and the SAME classification hashed on
+    host produce the SAME fingerprint — cycling detection sees one stream."""
+    w64 = np.arange(n, dtype=np.int64) * np.int64(-1640531527)
+    return _wrap32(w64) ^ np.int32(0x5BD1E995)
+
+
+def _label_hash(at_l, at_u, w):
+    """Batched label fingerprint, bit-equal to the device hash: int32
+    dot-accumulation wraps mod 2³², which an exact int64 sum wrapped once
+    at the end reproduces."""
+    w = w.astype(np.int64)
+    h = (at_l.astype(np.int64) @ w
+         + at_u.astype(np.int64) @ _wrap32(w * 40503).astype(np.int64))
+    return _wrap32(h)
 
 
 def _nat_resid_shared(M0, q, l, u, Z):
@@ -451,7 +474,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         while eg_iters < eg_budget:
             Z, r, prev_l, prev_u, changed = _eg_chunk(
                 Mt32, Q32, L32, U32, Z, tau, eg_chunk, band32,
-                prev_l, prev_u)
+                prev_l, prev_u, prec=eg_prec)
             eg_iters += eg_chunk
             r_host = np.asarray(r)
             _dbg(f"eg {eg_iters} iters, max resid {r_host.max():.3e} "
@@ -543,7 +566,8 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         zref[lane] = Zc[lane]
         seen_cls[lane].clear()
 
-    progress_rd = [0]    # last round that accepted a lane (stall detector)
+    hash_w = _hash_weights(n)
+    progress_rd = [0]    # last round with real progress (stall detector)
 
     def _absorb(sel, zc, Fchunk, rn, rp, rd):
         """Per-chunk policy-round bookkeeping: accept audited lanes, adopt
@@ -551,8 +575,6 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         prox reference where the subproblem converged, escalate singular
         factorizations."""
         ok = np.isfinite(rn) & (rn <= tol)
-        if ok.any():
-            progress_rd[0] = rd
         z_out[sel[ok]] = zc[ok]
         done[sel[ok]] = True
         fin = np.isfinite(rn)
@@ -573,6 +595,11 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
             seen_cls[lane_i].clear()
         delta_lane[sel[rec]] = np.maximum(
             delta_lane[sel[rec]] * 0.3, delta_min)
+        # progress = a certification OR an outer prox recentering (a lane
+        # legitimately descending its δ ladder must not trip the stall
+        # detector even if its first rn ≤ tol is rounds away)
+        if ok.any() or rec.any():
+            progress_rd[0] = rd
         # singular factorization even with this δ: escalate the ladder
         for lane_i in sel[~ok & ~fin]:
             _bump_rung(lane_i)
@@ -588,12 +615,14 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     # round 3's host-driven version re-uploaded ~25 MB of f64 vectors for
     # it through the tunnel.
     sing0: list = []
-    if mesh is not None:
-        # sharded round-0 runs as one call: each device factorizes its own
-        # S/D lanes; mid-axis host chunking would break the sharding
-        lane_chunk = S
-    for ofs in range(0, S, lane_chunk):
-        sel = np.arange(ofs, min(ofs + lane_chunk, S))
+    # sharded round-0 runs as one call: each device factorizes its own S/D
+    # lanes; mid-axis host chunking would break the sharding.  Scoped to
+    # round 0 — later rounds re-upload small host chunks and must keep the
+    # ordinary bucket ladder (a 600-lane straggler chunk padded to S would
+    # waste ~7× device work per round)
+    r0_chunk = S if mesh is not None else lane_chunk
+    for ofs in range(0, S, r0_chunk):
+        sel = np.arange(ofs, min(ofs + r0_chunk, S))
         _t0 = time.perf_counter()
         zc_d, rn_d, h_d = _round0_solve(
             M32_d, M64_d, at_l_d[ofs:ofs + sel.size],
@@ -610,10 +639,11 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         phase_t["round0_fetch"] = (
             phase_t.get("round0_fetch", 0.0) + time.perf_counter() - _t0)
         # record the round-0 fingerprints so a lane re-presenting the same
-        # classification later counts as cycling (device hash, tagged so it
-        # can never collide with the host loop's Python hashes)
+        # classification later counts as cycling — the device hash and the
+        # host loop's _label_hash are the SAME function (parity-tested), so
+        # an exact round-1 repeat of the EG classification IS detected
         for k, lane in enumerate(sel):
-            seen_cls[lane].add(("dev", int(hs[k])))
+            seen_cls[lane].add(int(hs[k]))
         # F only for the lanes that will advance: a small host GEMM
         # replaces a 5 MB tunnel fetch
         fin = np.isfinite(rn)
@@ -651,9 +681,11 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         free = ~(at_l | at_u)
         bval = np.where(at_l, l_fin[todo], u_fin[todo])
         # cycling inside one (δ, z_ref) context: escalate the ladder
+        # (fingerprints from the same hash stream as the device round-0)
+        fps = _label_hash(at_l, at_u, hash_w)
         fresh = np.ones(todo.size, dtype=bool)
         for k, lane in enumerate(todo):
-            fp = hash((at_l[k].tobytes(), at_u[k].tobytes()))
+            fp = int(fps[k])
             if fp in seen_cls[lane]:
                 fresh[k] = False
                 _bump_rung(lane)

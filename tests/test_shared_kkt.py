@@ -61,9 +61,9 @@ class TestSharedRoute:
                     "host_solves", "device_flops", "device_bytes"):
             assert key in stats
         assert stats["device_flops"] > 0
-        # small ensembles resolve through the host f64 tail; device LU
-        # batches only appear above the tail threshold (24 lanes)
-        assert stats["lu_factored"] + stats["host_solves"] >= 1
+        # the fused round 0 always LU-factorizes every lane on device
+        # (the ≤24-lane host tail applies to rounds ≥ 1 only)
+        assert stats["lu_factored"] >= 24
 
     def test_degenerate_lanes_escalate_to_conv(self):
         """T=8/num_obj=4 ensembles contain lanes whose EG classification is
@@ -206,6 +206,21 @@ class TestDesignScale:
         assert np.asarray(ref.converged).all()
         np.testing.assert_allclose(np.asarray(res.z), np.asarray(ref.z),
                                    atol=1e-6)
+
+
+class TestLabelHashParity:
+    def test_device_and_host_fingerprints_agree(self, rng):
+        """The cycling detector mixes fingerprints from the device round-0
+        hash and the host policy-loop hash — they must be the SAME
+        function bit-for-bit, or an exact round-1 repeat of the EG
+        classification escapes cycle detection."""
+        import qpn_tpu.ops.shared_kkt as sk
+        n, C = 131, 24
+        at_l = rng.random((C, n)) < 0.3
+        at_u = (rng.random((C, n)) < 0.3) & ~at_l
+        host = sk._label_hash(at_l, at_u, sk._hash_weights(n))
+        dev = np.asarray(sk._label_hash_dev(at_l, at_u))
+        np.testing.assert_array_equal(host, dev)
 
 
 class TestMeshSharded:
