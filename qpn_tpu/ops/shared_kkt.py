@@ -79,18 +79,32 @@ _PREC = jax.lax.Precision.HIGHEST
 #  EG pre-pass: chunked fori of (S,n)@(n,n) GEMMs
 # --------------------------------------------------------------------------
 
-def _eg_steps(Mt, Q, L, U, Z, tau, steps, band, prec):
-    """``steps`` extragradient iterations + classification, shared by the
+def _eg_steps(Mt, Q, L, U, Z, tau, steps, band, prec, method="eg"):
+    """``steps`` first-order iterations + classification, shared by the
     debug chunk loop and the production while_loop (ONE body — the two
-    paths must run the same numeric pipeline)."""
+    paths must run the same numeric pipeline).
 
-    def body(_, Z):
-        F = jnp.dot(Z, Mt, precision=prec) + Q
-        Zh = jnp.clip(Z - tau * F, L, U)
-        Fh = jnp.dot(Zh, Mt, precision=prec) + Q
-        return jnp.clip(Z - tau * Fh, L, U)
+    ``method="eg"`` is Korpelevich extragradient (two GEMMs/iter,
+    τ < 1/L); ``"popov"`` is Popov's optimistic method (ONE GEMM/iter at
+    the leading point, τ < 1/(2L) for the monotone guarantee) — half the
+    MXU work per iteration when its iteration count doesn't grow to
+    match."""
 
-    Z = jax.lax.fori_loop(0, steps, body, Z)
+    if method == "popov":
+        def body(_, carry):
+            Z, Zb = carry
+            F = jnp.dot(Zb, Mt, precision=prec) + Q
+            Z1 = jnp.clip(Z - tau * F, L, U)
+            Zb1 = jnp.clip(Z1 - tau * F, L, U)
+            return Z1, Zb1
+        Z, _ = jax.lax.fori_loop(0, steps, body, (Z, Z))
+    else:
+        def body(_, Z):
+            F = jnp.dot(Z, Mt, precision=prec) + Q
+            Zh = jnp.clip(Z - tau * F, L, U)
+            Fh = jnp.dot(Zh, Mt, precision=prec) + Q
+            return jnp.clip(Z - tau * Fh, L, U)
+        Z = jax.lax.fori_loop(0, steps, body, Z)
     F = jnp.dot(Z, Mt, precision=prec) + Q
     r = jnp.max(jnp.abs(Z - jnp.clip(Z - F, L, U)), axis=1)
     s = Z - F
@@ -99,20 +113,22 @@ def _eg_steps(Mt, Q, L, U, Z, tau, steps, band, prec):
     return Z, r, at_l, at_u
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "prec"))
+@functools.partial(jax.jit, static_argnames=("steps", "prec", "method"))
 def _eg_chunk(Mt, Q, L, U, Z, tau, steps, band, prev_l, prev_u,
-              prec=_PREC):
+              prec=_PREC, method="eg"):
     """One debug-mode chunk: advance ``steps`` EG iterations and report the
     residual / classification / label churn to the host (same pipeline as
     :func:`_eg_run`, one tunnel round trip per chunk)."""
-    Z, r, at_l, at_u = _eg_steps(Mt, Q, L, U, Z, tau, steps, band, prec)
+    Z, r, at_l, at_u = _eg_steps(Mt, Q, L, U, Z, tau, steps, band, prec,
+                                 method)
     changed = jnp.sum((at_l != prev_l) | (at_u != prev_u))
     return Z, r, at_l, at_u, changed
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "max_chunks", "prec"))
+@functools.partial(jax.jit,
+                   static_argnames=("steps", "max_chunks", "prec", "method"))
 def _eg_run(Mt, Q, L, U, Z0, tau, steps, max_chunks, band, switch,
-            stable_tol, prec=_PREC):
+            stable_tol, prec=_PREC, method="eg"):
     """The WHOLE extragradient pre-pass as one device dispatch: a
     ``lax.while_loop`` over ``steps``-iteration chunks with the stopping
     rule evaluated on device (residual < switch, or active-set labels
@@ -122,27 +138,88 @@ def _eg_run(Mt, Q, L, U, Z0, tau, steps, max_chunks, band, switch,
     round trips cost as much as the GEMMs themselves."""
 
     def cond(state):
-        _, _, _, _, k, stop = state
+        _, _, _, _, k, stop, _ = state
         return (~stop) & (k < max_chunks)
 
     def body(state):
-        Z, _, prev_l, prev_u, k, _ = state
+        Z, _, prev_l, prev_u, k, _, rh = state
         Z, r, at_l, at_u = _eg_steps(Mt, Q, L, U, Z, tau, steps, band,
-                                     prec)
+                                     prec, method)
         changed = jnp.sum((at_l != prev_l) | (at_u != prev_u))
-        # label stability only counts from the second chunk (the first
-        # comparison is against the pre-EG classification); stable_tol > 0
-        # tolerates that many flapping labels ensemble-wide — the policy
-        # rounds reclassify those lanes from their own basis solutions
-        stop = (jnp.max(r) < switch) | ((k >= 1) & (changed <= stable_tol))
-        return Z, r, at_l, at_u, k + 1, stop
+        rmax = jnp.max(r)
+        # stopping rules, all on device: residual target; label stability
+        # from the second chunk (stable_tol > 0 tolerates that many
+        # flapping labels ensemble-wide — the policy rounds reclassify
+        # those lanes from their own basis solutions); residual PLATEAU
+        # (<10% improvement over three chunks: degenerate-heavy ensembles
+        # never stabilize their labels, and burning the rest of a 60k-iter
+        # budget measurably buys the terminal solve nothing)
+        plateau = (k >= 3) & (rmax > 0.9 * rh[0])
+        stop = ((rmax < switch)
+                | ((k >= 1) & (changed <= stable_tol))
+                | plateau)
+        rh = jnp.stack([rh[1], rh[2], rmax])
+        return Z, r, at_l, at_u, k + 1, stop, rh
 
     S = Q.shape[0]
     r0 = jnp.full((S,), jnp.inf, dtype=Z0.dtype)
     zeros = jnp.zeros(Q.shape, dtype=bool)
-    state = (Z0, r0, zeros, zeros, jnp.int32(0), jnp.bool_(False))
-    Z, r, at_l, at_u, k, _ = jax.lax.while_loop(cond, body, state)
+    rh0 = jnp.full((3,), jnp.inf, dtype=Z0.dtype)
+    state = (Z0, r0, zeros, zeros, jnp.int32(0), jnp.bool_(False), rh0)
+    Z, r, at_l, at_u, k, _, _ = jax.lax.while_loop(cond, body, state)
     return Z, r, at_l, at_u, k
+
+
+@functools.partial(jax.jit, static_argnames=("inner_steps", "max_outer"))
+def _prox_eg_rung(M32, M64, Q64, L64, U64, Z0, delta, tau, tol,
+                  inner_steps, max_outer):
+    """Batched proximal-point rung for degenerate lanes, entirely on
+    device: ONE dispatch replaces the per-lane host rungs (lstsq SVDs,
+    host ADMM/generic) that cost ~minutes on hard seeds.
+
+    Outer loop (Rockafellar proximal point, convergent for monotone M):
+    around the incumbent ``z_ref``, solve the STRONGLY monotone prox
+    subproblem ``(M + δI) d + (M z_ref + q) ⟂ (l − z_ref) ≤ d ≤
+    (u − z_ref)`` in the CORRECTION variable d with a fixed-step f32
+    extragradient inner loop (linear rate — δ-strong monotonicity), then
+    recenter ``z_ref += d``.  Solving for the correction is iterative
+    refinement for VIs: the f32 inner's absolute error scales with ‖d‖,
+    which shrinks as z_ref converges, so the f64-accumulated z_ref can
+    certify at 1e-8 even though every GEMM is f32.  The outer residual is
+    audited on device in f64 (the same natural-map gate as everywhere
+    else); the host fetches only (z, rn)."""
+    f32 = M32.dtype
+    Mt32, Mt64 = M32.T, M64.T
+    Z0 = jnp.clip(Z0, L64, U64)          # d = 0 must be feasible
+
+    def cond(state):
+        _, rn, k, stop = state
+        return (~stop) & (k < max_outer)
+
+    def body(state):
+        zref, _, k, _ = state
+        r64 = jnp.dot(zref, Mt64, precision=_PREC) + Q64
+        r32 = r64.astype(f32)
+        lm = (L64 - zref).astype(f32)
+        um = (U64 - zref).astype(f32)
+
+        def inner(_, d):
+            Fd = jnp.dot(d, Mt32, precision=_PREC) + delta * d + r32
+            dh = jnp.clip(d - tau * Fd, lm, um)
+            Fh = jnp.dot(dh, Mt32, precision=_PREC) + delta * dh + r32
+            return jnp.clip(d - tau * Fh, lm, um)
+
+        d = jax.lax.fori_loop(0, inner_steps, inner,
+                              jnp.zeros_like(r32))
+        zref = zref + d.astype(jnp.float64)
+        F = jnp.dot(zref, Mt64, precision=_PREC) + Q64
+        rn = jnp.max(jnp.abs(zref - jnp.clip(zref - F, L64, U64)), axis=1)
+        return zref, rn, k + 1, jnp.max(rn) <= tol
+
+    S = Q64.shape[0]
+    state = (Z0, jnp.full((S,), jnp.inf), jnp.int32(0), jnp.bool_(False))
+    z, rn, k, _ = jax.lax.while_loop(cond, body, state)
+    return z, rn, k
 
 
 @functools.partial(jax.jit, static_argnames=("refines",))
@@ -377,10 +454,12 @@ def _escalate_generic(M0, q, l, u, z0, tol):
 
 
 def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
-                         eg_budget: int = 60000, eg_chunk: int = 2000,
+                         eg_budget: int = 20000, eg_chunk: int = 2000,
                          eg_stable_tol: Optional[int] = None,
                          eg_prec=jax.lax.Precision.HIGH,
-                         lane_chunk: int = 1024, newton_rounds: int = 40,
+                         eg_method: str = "eg",
+                         enable_prox_eg: bool = False,
+                         lane_chunk: int = 1024, newton_rounds: int = 12,
                          refine_passes: int = 2,
                          structure: Optional[dict] = None,
                          mesh=None,
@@ -420,7 +499,9 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
             break
         v = w / nw
     Lip = float(np.sqrt(max(np.linalg.norm(M0.T @ (M0 @ v)), 1e-24)))
-    tau = np.float32(0.9 / max(Lip, 1e-12))
+    # EG tolerates τ < 1/L; Popov's single-GEMM iteration needs τ < 1/(2L)
+    tau = np.float32((0.45 if eg_method == "popov" else 0.9)
+                     / max(Lip, 1e-12))
 
     if mesh is not None and S % mesh.devices.size != 0:
         _dbg(f"mesh ignored: S={S} not divisible by {mesh.devices.size}")
@@ -471,20 +552,26 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         prev_l = jnp.zeros((S, n), dtype=bool)
         prev_u = jnp.zeros((S, n), dtype=bool)
         first = True
+        rhist: list = []
         while eg_iters < eg_budget:
             Z, r, prev_l, prev_u, changed = _eg_chunk(
                 Mt32, Q32, L32, U32, Z, tau, eg_chunk, band32,
-                prev_l, prev_u, prec=eg_prec)
+                prev_l, prev_u, prec=eg_prec, method=eg_method)
             eg_iters += eg_chunk
             r_host = np.asarray(r)
-            _dbg(f"eg {eg_iters} iters, max resid {r_host.max():.3e} "
+            rmax = float(r_host.max())
+            _dbg(f"eg {eg_iters} iters, max resid {rmax:.3e} "
                  f"(switch {switch:.1e}, labels changed {int(changed)})")
-            if float(r_host.max()) < switch:
+            if rmax < switch:
                 break
             # active-set stability is the real stopping criterion: the
             # terminal solve only needs the right classification
             if not first and int(changed) <= eg_stable_tol:
                 break
+            # residual plateau (mirror of _eg_run's rule)
+            if len(rhist) >= 3 and rmax > 0.9 * rhist[-3]:
+                break
+            rhist.append(rmax)
             first = False
         at_l_d, at_u_d = prev_l, prev_u
     else:
@@ -494,7 +581,8 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         max_chunks = max(1, eg_budget // eg_chunk)
         Z, _, at_l_d, at_u_d, k = _eg_run(
             Mt32, Q32, L32, U32, Z, tau, eg_chunk, max_chunks, band32,
-            np.float32(switch), np.int32(eg_stable_tol), prec=eg_prec)
+            np.float32(switch), np.int32(eg_stable_tol), prec=eg_prec,
+            method=eg_method)
         eg_iters = int(k) * eg_chunk
 
     phase_t["eg"] = time.perf_counter() - _t
@@ -740,41 +828,18 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     phase_t["newton_rounds"] = time.perf_counter() - _t
     _t = time.perf_counter()
 
-    # exact host f64 MIN-NORM solve for lanes whose f32 factorization
-    # couldn't be refined: degenerate classifications give SINGULAR but
-    # consistent basis systems (the solution face is an affine set) — lstsq
-    # picks a valid point where np.linalg.solve returns garbage without
-    # raising.  Two classification bands tried per lane.
-    for band in (1e-4 * scale, 1e-2 * scale):
-        todo = np.flatnonzero(~done)
-        if todo.size == 0:
-            break
-        at_l, at_u = _classify(Zc[todo], Fc[todo], l64[todo], u64[todo],
-                               band)
-        free = ~(at_l | at_u)
-        bval = np.where(at_l, l_fin[todo], u_fin[todo])
-        A = np.where(free[:, :, None], M0[None], np.eye(n)[None])
-        rhs = np.where(free, -q[todo], bval)
-        zc = np.stack([np.linalg.lstsq(A[i], rhs[i], rcond=None)[0]
-                       for i in range(todo.size)])
-        host_solves += todo.size
-        iters_out[todo] += 1
-        rn, _ = _nat_resid_shared(M0, q[todo], l64[todo], u64[todo], zc)
-        ok = np.isfinite(rn) & (rn <= tol)
-        z_out[todo[ok]] = zc[ok]
-        done[todo[ok]] = True
-        _dbg(f"host lstsq solve band={band:.1e} lanes={todo.size} "
-             f"ok={int(ok.sum())}")
-
-    phase_t["host_lstsq"] = time.perf_counter() - _t
-    _t = time.perf_counter()
-
-    # structured rung: these ensembles are QP-KKT systems — solve the
-    # stragglers' underlying QPs with the batched ADMM kernel + dual
-    # reconstruction + Newton polish (the round-1 structured route), off-
-    # accelerator per the escalation placement policy.  Far cheaper and more
-    # robust than the generic hybrid at this n; LP-KKT degeneracy is ADMM's
-    # home turf.
+    # structured ADMM rung FIRST among the escalations: these ensembles
+    # are QP-KKT systems, and solving the stragglers' underlying QPs with
+    # the batched ADMM kernel + dual reconstruction + Newton polish (the
+    # round-1 structured route) is the measured win for the degenerate
+    # lane class robust_avoid produces — on a degenerate-heavy seed the
+    # ladder/lstsq/prox rungs certified 0 of 82 such lanes while this rung
+    # certified 82/82.  Off-accelerator per the escalation placement
+    # policy: the pinning is LOAD-BEARING and was re-verified this round —
+    # un-pinning the rung to the accelerator at n=608 crashed the TPU
+    # worker (its f64 factorizations are the BENCH_r03 forbidden-op
+    # class); a straggler lane degrades to host speed instead of taking
+    # down the chip.
     todo = np.flatnonzero(~done)
     if todo.size and structure is not None:
         import contextlib
@@ -794,8 +859,78 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         z_out[todo[ok]] = np.asarray(sub.z)[ok]
         done[todo[ok]] = True
         iters_out[todo] += np.asarray(sub.iters, dtype=np.int64)
-        _dbg(f"ADMM structured escalation lanes={todo.size} "
+        _dbg(f"ADMM structured rung lanes={todo.size} ok={int(ok.sum())}")
+    phase_t["admm_rung"] = time.perf_counter() - _t
+    _t = time.perf_counter()
+
+    # exact host f64 MIN-NORM solve for lanes whose f32 factorization
+    # couldn't be refined: degenerate classifications give SINGULAR but
+    # consistent basis systems (the solution face is an affine set) — lstsq
+    # picks a valid point where np.linalg.solve returns garbage without
+    # raising.  Two classification bands tried per lane.
+    for band in (1e-4 * scale, 1e-2 * scale):
+        todo = np.flatnonzero(~done)
+        if todo.size == 0:
+            break
+        at_l, at_u = _classify(Zc[todo], Fc[todo], l64[todo], u64[todo],
+                               band)
+        free = ~(at_l | at_u)
+        bval = np.where(at_l, l_fin[todo], u_fin[todo])
+        A = np.where(free[:, :, None], M0[None], np.eye(n)[None])
+        rhs = np.where(free, -q[todo], bval)
+        # gelsy (pivoted QR) over the default gelsd (SVD): same min-norm
+        # answer for these consistent systems at ~4× less per-lane cost
+        # (measured ~2s/lane SVD at n=608 — the dominant rung cost on
+        # degenerate-heavy seeds)
+        import scipy.linalg as sla
+        zc = np.stack([sla.lstsq(A[i], rhs[i], lapack_driver="gelsy",
+                                 check_finite=False)[0]
+                       for i in range(todo.size)])
+        host_solves += todo.size
+        iters_out[todo] += 1
+        rn, _ = _nat_resid_shared(M0, q[todo], l64[todo], u64[todo], zc)
+        ok = np.isfinite(rn) & (rn <= tol)
+        z_out[todo[ok]] = zc[ok]
+        done[todo[ok]] = True
+        _dbg(f"host lstsq solve band={band:.1e} lanes={todo.size} "
              f"ok={int(ok.sum())}")
+
+    phase_t["host_lstsq"] = time.perf_counter() - _t
+    _t = time.perf_counter()
+
+    # opt-in batched proximal-point rung ON DEVICE (one dispatch): solves
+    # mildly degenerate monotone-dominant ensembles without host work, but
+    # on robust_avoid's heavily skew/rank-deficient lane class it measured
+    # 0 certifications in 40 outer rounds (first-order methods crawl on
+    # these), so it is off the default path
+    todo = np.flatnonzero(~done)
+    if enable_prox_eg and todo.size >= 8:
+        METRICS.bump("shared_kkt_prox_eg_rung", todo.size)
+        Cb = next(b for b in (64, 128, 256, 512, 1024, 2048, 4096)
+                  if b >= todo.size) if todo.size <= 4096 else todo.size
+        pad = Cb - todo.size
+
+        def _p(a):
+            a = np.asarray(a)
+            return (np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                    if pad else a)
+        delta_p = 0.05 * max(Lip, 1e-12)
+        tau_p = np.float32(0.9 / (Lip + delta_p))
+        zp_d, rnp_d, kp = _prox_eg_rung(
+            M32_d, M64_d, jnp.asarray(_p(q[todo])),
+            jnp.asarray(_p(l64[todo])), jnp.asarray(_p(u64[todo])),
+            jnp.asarray(_p(Zc[todo])), np.float32(delta_p), tau_p,
+            tol, 1000, 40)
+        zp, rnp = (np.asarray(a)[:todo.size] for a in
+                   jax.device_get((zp_d, rnp_d)))
+        ok = np.isfinite(rnp) & (rnp <= tol)
+        z_out[todo[ok]] = zp[ok]
+        done[todo[ok]] = True
+        iters_out[todo] += int(kp) * 1000
+        _dbg(f"prox-EG rung lanes={todo.size} outers={int(kp)} "
+             f"ok={int(ok.sum())}")
+    phase_t["prox_eg_rung"] = time.perf_counter() - _t
+    _t = time.perf_counter()
 
     # last resort: the generic adaptive per-lane solver (audited like
     # everything else); scenario stragglers here are genuinely hard lanes

@@ -208,6 +208,43 @@ class TestDesignScale:
                                    atol=1e-6)
 
 
+class TestProxEGRung:
+    def test_kernel_certifies_strongly_monotone_ensemble(self, rng):
+        """The opt-in proximal-point EG rung (one device dispatch, f64
+        outer refinement over f32 inner GEMMs) certifies a
+        strongly-monotone shared ensemble at 1e-8 from a cold start."""
+        import jax.numpy as jnp
+        import qpn_tpu.ops.shared_kkt as sk
+        n, S = 32, 16
+        A = rng.standard_normal((n, n))
+        K = rng.standard_normal((n, n))
+        M0 = A @ A.T / n + (K - K.T) / np.sqrt(n) + 0.3 * np.eye(n)
+        q = rng.standard_normal((S, n))
+        l = -np.ones((S, n))
+        u = np.ones((S, n))
+        v = np.ones(n) / np.sqrt(n)
+        for _ in range(30):
+            w = M0.T @ (M0 @ v)
+            v = w / np.linalg.norm(w)
+        Lip = float(np.sqrt(np.linalg.norm(M0.T @ (M0 @ v))))
+        delta = 0.05 * Lip
+        z, rn, k = sk._prox_eg_rung(
+            jnp.asarray(M0, jnp.float32), jnp.asarray(M0),
+            jnp.asarray(q), jnp.asarray(l), jnp.asarray(u),
+            jnp.asarray(np.zeros_like(q)), np.float32(delta),
+            np.float32(0.9 / (Lip + delta)), 1e-8, 1000, 40)
+        assert float(np.asarray(rn).max()) <= 1e-8
+        # audit against the plain host natural residual too
+        rh, _ = sk._nat_resid_shared(M0, q, l, u, np.asarray(z))
+        assert rh.max() <= 1e-8
+
+    def test_flag_plumbing(self, small_batch):
+        b = small_batch
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, enable_prox_eg=True)
+        assert bool(np.asarray(res.converged).all())
+
+
 class TestLabelHashParity:
     def test_device_and_host_fingerprints_agree(self, rng):
         """The cycling detector mixes fingerprints from the device round-0
