@@ -153,6 +153,23 @@ class TestDesignScale:
         assert float(np.asarray(res.resid).max()) <= 1e-8
         assert METRICS.counters.get("shared_kkt_generic_escalation", 0) == c0
 
+    def test_hard_seed_degenerate_class_via_admm_rung(self):
+        """Seed-2 ensembles are degenerate-heavy (the δ-ladder certifies
+        ~0 of their stuck lanes); the ADMM-first escalation must absorb
+        them — every lane certifies, the generic rung stays cold, and the
+        structured ADMM rung visibly engages."""
+        from qpn_tpu.utils.metrics import METRICS
+        b = scenario_batch_gavis(num_scenarios=32, T=8, num_obj=4,
+                                 num_poly_faces=4, seed=2)
+        a0 = METRICS.counters.get("shared_kkt_admm_escalation", 0)
+        g0 = METRICS.counters.get("shared_kkt_generic_escalation", 0)
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, structure=b["structure"])
+        assert bool(np.asarray(res.converged).all())
+        assert float(np.asarray(res.resid).max()) <= 1e-8
+        assert METRICS.counters.get("shared_kkt_admm_escalation", 0) > a0
+        assert METRICS.counters.get("shared_kkt_generic_escalation", 0) == g0
+
     def test_escalation_rung_runs_and_certifies(self, monkeypatch):
         """The generic-escalation rung (the one that crashed the TPU worker
         in round 3) solves lanes the cheap rungs were denied: disable the
