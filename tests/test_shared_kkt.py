@@ -261,6 +261,15 @@ class TestProxEGRung:
                                    tol=1e-8, enable_prox_eg=True)
         assert bool(np.asarray(res.converged).all())
 
+    def test_popov_method_plumbing(self, small_batch):
+        """Popov's one-GEMM-per-iteration pre-pass (measured slower on the
+        bench ensemble — its τ/2 step degrades label quality — but kept as
+        a correct audited option)."""
+        b = small_batch
+        res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
+                                   tol=1e-8, eg_method="popov")
+        assert bool(np.asarray(res.converged).all())
+
 
 class TestLabelHashParity:
     def test_device_and_host_fingerprints_agree(self, rng):
