@@ -18,33 +18,33 @@ This module instead treats the ensemble as ONE matrix problem:
    ``(S, n) @ (n, n)`` matmuls: MXU work with arithmetic intensity ~S,
    instead of the per-lane matvecs of the generic solver that stream S copies
    of M from HBM.  The pre-pass does not need a tight residual — only a
-   stable active set.
-2. **Active-set Newton fixpoint rounds** (Josephy-Newton on the natural map,
-   the nonsmooth-Newton core of the reference's PATH): classify each lane's
-   rows from the natural map ``s = z − (Mz+q)`` (``s ≤ l`` at the lower
-   bound, ``s ≥ u`` upper, rest free), solve the complementary-basis linear
-   system, re-classify from the solution, repeat.  Each round's basis solve
-   is ONE fused device dispatch per lane chunk: f32 LU factorization of the
-   per-lane basis matrices (materialized on device from the one shared M),
-   f32 triangular solves, then **on-device f64 iterative refinement against
-   the original data** and an on-device f64 natural-residual audit — the
-   host ships masks and vectors and gets back audited f64 solutions, with no
-   per-pass host↔device GEMM ping-pong (round 3's refinement round-tripped
-   residuals through host numpy per pass; over the axon tunnel that ate the
-   GEMM win).
-3. **Host f64 exact solve** (stacked LAPACK) for lanes whose f32
-   factorization cannot be refined (ill-conditioned bases).
-4. **Generic adaptive escalation pinned to the host CPU backend** for
-   whatever remains: scenario stragglers here are genuinely hard lanes, and
-   the generic hybrid-Newton kernel at trajectory scale (n≥600) is exactly
-   what kernel-faulted the TPU worker in round 3 (BENCH_r03 rc=1) — so the
-   escalation rung stays, but its kernels are explicitly placed on the local
-   CPU devices, never the accelerator.  Same policy as the small-dispatch
-   glue (config.small_dispatch_device); a straggler lane degrades to host
-   speed instead of taking down the chip.
+   stable active set — and runs as ONE device dispatch (``lax.while_loop``
+   with residual / label-stability / plateau stopping on device).
+2. **Fused δ=0 first policy round on device** (:func:`_round0_solve`): the
+   EG labels become masks and bound values ON DEVICE, f32 batched LU +
+   on-device f64 iterative refinement + f64 natural-residual audit + a
+   per-lane label-fingerprint hash; the host fetches only the audited f64
+   solutions (tunnel traffic engineering — the axon link moves ~10 MB/s).
+3. **Host-driven proximal-δ policy rounds** (Josephy-Newton / LCP policy
+   iteration, the nonsmooth-Newton core of the reference's PATH) for lanes
+   round 0 leaves: classify from the natural map, solve the complementary
+   basis (bucket-padded device chunks above the ~24-lane tail threshold,
+   host LAPACK below), escalate a per-lane proximal-δ ladder on
+   singularity or cycling (fingerprint-detected), with a stall detector
+   handing chronic non-certifiers to the rungs.
+4. **Escalation rungs, ADMM first, all pinned off-accelerator**: the
+   structured-QP ADMM route certifies the dual-degenerate lane class the
+   active-set solves measurably cannot (82/82 vs 0/82 on a hard seed);
+   then gelsy min-norm, an opt-in batched proximal-point EG rung, and the
+   generic adaptive solver.  The pinning is LOAD-BEARING (re-verified:
+   un-pinning ADMM faults the TPU worker at n=608 — the same f64
+   factorization class as round 3's BENCH_r03 crash); a straggler lane
+   degrades to host speed instead of taking down the chip, same policy as
+   the small-dispatch glue (config.small_dispatch_device).
 
-The analytic FLOP ledger of steps 1–3 is returned through ``stats`` so the
-bench can report achieved FLOP/s and MFU against the f32 MXU peak.
+The analytic FLOP ledger of the device phases is returned through
+``stats`` (plus a per-phase wall-clock ``phase_t``) so the bench can
+report achieved FLOP/s and MFU against the f32 MXU peak.
 """
 
 from __future__ import annotations
