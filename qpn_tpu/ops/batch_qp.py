@@ -80,7 +80,7 @@ def _ruiz_equilibrate(P, q, A, row_mask, iters=10):
 
 
 def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
-                check_every, banded_k=0):
+                check_every, banded_k=0, mixed=False):
     """Single-instance OSQP-style ADMM. All shapes static; vmapped by caller.
 
     Invalid (padded) rows must come with a=0, l=-inf, u=+inf, row_mask=False.
@@ -90,10 +90,20 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
     (trajectory-horizon QPs, SURVEY §5 "long-context"): the x-update then
     factors by cyclic reduction (ops/banded.py) — O(T k³ log T) instead of
     O((Tk)³) — the sequence-parallel axis in the production QP path.
+
+    ``mixed=True`` (f64 inputs only): iterates, residuals, and K stay f64,
+    but every FACTORIZATION runs in f32 with one f64 iterative-refinement
+    pass per solve.  This is the accelerator-safe mode: batched f64
+    Cholesky/QR on the TPU worker kernel-faults at moderate batch sizes
+    (re-measured round 5 — 128×(96,96) f64 ADMM crashed the worker; the
+    round-3 BENCH_r03 class), while f32 factors + f64 VPU-emulated GEMV
+    refinement converges like f64 (the refined solve is ~1e-10 relative,
+    same discipline as shared_kkt._basis_solve_refine).
     """
     n = q.shape[0]
     m = l.shape[0]
     dt = q.dtype
+    f32 = jnp.float32
 
     # -------- Ruiz equilibration (scaled problem solved, unscaled returned) --
     Dsc, Esc = _ruiz_equilibrate(P, q, A, row_mask)
@@ -120,9 +130,47 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         assert n % banded_k == 0, "banded_k must divide the variable count"
         Tb = n // banded_k
 
+    # rho enters K only as a scalar multiple of the CONSTANT Gram matrix
+    # G = A'·diag(base)·A (base = per-row class multiplier): K(ρ) = K0 + ρG.
+    # Hoisting G out of factor() removes the per-epoch A'RA matmul — on TPU
+    # in mixed mode that matmul is f64-emulated and dominated the whole
+    # solve (measured: 17 s → the per-iteration GEMVs for a 128×(96,256)
+    # hard-seed batch).
+    base_r = rho_vec(jnp.asarray(1.0, dtype=dt))
+    G = (A.T * base_r[None, :]) @ A
+    K0 = P + sigma * jnp.eye(n, dtype=dt)
+
+    if mixed:
+        # split-f32 (double-float) matvecs for the per-iteration A/Aᵀ
+        # products: M·v ≈ M_hi·v_hi + M_hi·v_lo + M_lo·v_hi, each an MXU
+        # matmul at Precision.HIGHEST (~1e-7 relative) — f64-emulated
+        # matmuls on TPU ran at ~4 GFLOP/s and were the entire iteration
+        # cost.  The ~1e-6·scale noise floor this leaves is below the
+        # eps=1e-4 target the mixed rung uses; termination residuals stay
+        # exact f64 (per-epoch only).
+        _HI = jax.lax.Precision.HIGHEST
+        A_hi = A.astype(f32)
+        A_lo = (A - A_hi.astype(dt)).astype(f32)
+
+        def _split_mv(Mh, Ml, v):
+            vh = v.astype(f32)
+            vl = (v - vh.astype(dt)).astype(f32)
+            return (jnp.dot(Mh, vh, precision=_HI).astype(dt)
+                    + jnp.dot(Mh, vl, precision=_HI).astype(dt)
+                    + jnp.dot(Ml, vh, precision=_HI).astype(dt))
+
+        def matA(v):
+            return _split_mv(A_hi, A_lo, v)
+
+        def matAT(v):
+            return _split_mv(A_hi.T, A_lo.T, v)
+    else:
+        matA = lambda v: A @ v          # noqa: E731
+        matAT = lambda v: A.T @ v       # noqa: E731
+
     def factor(rho):
-        R = rho_vec(rho)
-        K = P + sigma * jnp.eye(n, dtype=dt) + (A.T * R[None, :]) @ A
+        R = rho * base_r
+        K = K0 + rho * G
         if banded_k:
             from .banded import cr_factor
             Kb = K.reshape(Tb, banded_k, Tb, banded_k)
@@ -133,12 +181,36 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
             Ad = Ad.at[0].set(0.0)
             Cd = Cd.at[Tb - 1].set(0.0)
             return cr_factor(Ad, Bd, Cd), R
+        if mixed:
+            # explicit f32 inverse via the Cholesky factor: one pair of
+            # triangular solves per REFACTOR instead of per solve — on TPU
+            # batched trisolves are sequential-latency-bound; with Kinv
+            # every x-update is a pure MXU matmul, and the split-f32
+            # refinement against K restores the accuracy the explicit
+            # inverse loses
+            K_hi = K.astype(f32)
+            K_lo = (K - K_hi.astype(dt)).astype(f32)
+            L32 = jnp.linalg.cholesky(K_hi)
+            eyef = jnp.eye(n, dtype=f32)
+            w = jax.scipy.linalg.solve_triangular(L32, eyef, lower=True)
+            Kinv = jax.scipy.linalg.solve_triangular(L32.T, w, lower=False)
+            return (Kinv, K_hi, K_lo), R
         return jnp.linalg.cholesky(K), R
 
     def chol_solve(L, b):
         if banded_k:
             from .banded import cr_solve
             return cr_solve(L, b.reshape(Tb, banded_k)).reshape(n)
+        if mixed:
+            Kinv, K_hi, K_lo = L
+            _HI = jax.lax.Precision.HIGHEST
+
+            def apply(bb):
+                return jnp.dot(Kinv, bb.astype(f32),
+                               precision=_HI).astype(dt)
+            x = apply(b)
+            x = x + apply(b - _split_mv(K_hi, K_lo, x))
+            return x + apply(b - _split_mv(K_hi, K_lo, x))
         w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
 
@@ -175,9 +247,9 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
 
     def iter_once(_, carry):
         x, z, y, dx_acc, dy_acc, L, R = carry
-        rhs = sigma * x - q + A.T @ (R * z - y)
+        rhs = sigma * x - q + matAT(R * z - y)
         x_new = chol_solve(L, rhs)
-        Ax = A @ x_new
+        Ax = matA(x_new)
         z_relaxed = alpha * Ax + (1 - alpha) * z
         z_new = jnp.clip(z_relaxed + y / R, lc, uc)
         z_new = jnp.where(loose, z_relaxed + y / R, z_new)
@@ -280,11 +352,24 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
             [A0 * w[:, None], -delta * jnp.eye(m, dtype=dt)],
         ])
         rhs = jnp.concatenate([-q0, jnp.where(act, bnd, 0.0)])
-        # no f64 LU on TPU: QR-based solve (see ops/linalg.py)
-        sol = qr_solve(K, rhs)
-        # one step of iterative refinement
-        r = rhs - K @ sol
-        sol = sol + qr_solve(K, r)
+        # no f64 LU on TPU: QR-based solve (see ops/linalg.py); in mixed
+        # mode the QR itself is f32 (batched f64 QR is in the same
+        # worker-faulting class as f64 Cholesky) with f64 refinement
+        if mixed:
+            Q32, R32 = jnp.linalg.qr(K.astype(f32))
+
+            def _qs(bb):
+                r_ = Q32.T @ bb.astype(f32)
+                return jax.scipy.linalg.solve_triangular(
+                    R32, r_, lower=False).astype(dt)
+            sol = _qs(rhs)
+            sol = sol + _qs(rhs - K @ sol)
+            sol = sol + _qs(rhs - K @ sol)
+        else:
+            sol = qr_solve(K, rhs)
+            # one step of iterative refinement
+            r = rhs - K @ sol
+            sol = sol + qr_solve(K, r)
         x_p = sol[:n]
         y_p = jnp.where(act, sol[n:], 0.0)
         # dual-sign sanity: lower-active duals ≤ 0, upper-active ≥ 0
@@ -329,20 +414,22 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
 # an integer halving), so the two-tier straggler scheme (250 vs 4000) and
 # any caller-chosen budget share one compiled kernel per shape bucket —
 # halving the trace/compile count of the cold path.
-@functools.partial(jax.jit, static_argnames=("check_every", "banded_k"))
+@functools.partial(jax.jit, static_argnames=("check_every", "banded_k",
+                                             "mixed"))
 def solve_qp_batch(P, q, A, l, u, row_mask, *, max_iter=4000, eps=1e-9,
                    rho0=0.1, sigma=1e-6, alpha=1.6, check_every=25,
-                   banded_k=0):
+                   banded_k=0, mixed=False):
     """Solve a batch of box-constrained QPs.
 
     Args: P (B,n,n), q (B,n), A (B,m,n), l,u (B,m), row_mask (B,m) bool.
     ``banded_k`` routes the x-update through cyclic reduction for
-    block-tridiagonal trajectory KKTs (see _admm_solve).
+    block-tridiagonal trajectory KKTs (see _admm_solve); ``mixed`` keeps
+    f64 iterates but factors in f32 (the accelerator-safe f64 mode).
     Returns QPSolution with leading batch dim.
     """
     fn = functools.partial(_admm_solve, max_iter=max_iter, eps=eps, rho0=rho0,
                            sigma=sigma, alpha=alpha, check_every=check_every,
-                           banded_k=banded_k)
+                           banded_k=banded_k, mixed=mixed)
     return jax.vmap(fn)(P, q, A, l, u, row_mask)
 
 

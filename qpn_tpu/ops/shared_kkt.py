@@ -32,15 +32,21 @@ This module instead treats the ensemble as ONE matrix problem:
    host LAPACK below), escalate a per-lane proximal-δ ladder on
    singularity or cycling (fingerprint-detected), with a stall detector
    handing chronic non-certifiers to the rungs.
-4. **Escalation rungs, ADMM first, all pinned off-accelerator**: the
-   structured-QP ADMM route certifies the dual-degenerate lane class the
-   active-set solves measurably cannot (82/82 vs 0/82 on a hard seed);
-   then gelsy min-norm, an opt-in batched proximal-point EG rung, and the
-   generic adaptive solver.  The pinning is LOAD-BEARING (re-verified:
-   un-pinning ADMM faults the TPU worker at n=608 — the same f64
-   factorization class as round 3's BENCH_r03 crash); a straggler lane
-   degrades to host speed instead of taking down the chip, same policy as
-   the small-dispatch glue (config.small_dispatch_device).
+4. **Structured-QP escalation, CHIP-bulk first**: round-0-singular lanes
+   are the dual-degenerate class (the δ ladder certifies ~0 of them on
+   hard seeds) and skip the ladder entirely; the chip rung solves their
+   underlying QPs with mixed-precision batched ADMM ON DEVICE — f64
+   iterates, f32 Cholesky factors inverted explicitly, split-f32 MXU
+   matvecs, one while_loop dispatch per 128-lane chunk — then certifies
+   through the tiny active-set host polish (:func:`_structured_polish`,
+   (nd+a)² gelsy systems instead of n² basis machinery).  Measured round
+   5: 0.9 s vs 140 s host-pinned f64 ADMM on the 512-lane hard-seed
+   class, and the straggler resolution is deterministic (one path).
+   Remnants fall to the HOST-PINNED f64 ADMM + gelsy min-norm + generic
+   rungs — the off-accelerator pinning of those remains LOAD-BEARING
+   (re-verified round 5: batched f64 Cholesky/QR at ≥(128, 96, 96)
+   kernel-faults the worker — the BENCH_r03 class; the mixed kernel at
+   (512, …) faults too, hence the 128-lane chunk cap).
 
 The analytic FLOP ledger of the device phases is returned through
 ``stats`` (plus a per-phase wall-clock ``phase_t``) so the bench can
@@ -413,6 +419,171 @@ def _nat_resid_shared(M0, q, l, u, Z):
     return np.abs(Z - proj).max(axis=1), F
 
 
+def _structured_polish(M0, nd, m, q, l64, u64, x0, tol, scale):
+    """Active-set KKT polish in the QP's OWN coordinates (lanes, host f64).
+
+    The shared-KKT lanes are QPs with ``nd`` primal variables and ``m``
+    rows (``z = [x; λ; s]``, models/robust_avoid.py scenario_batch_gavis);
+    once a solver has located ``x`` to ~1e-5 the active set of the s-block
+    is known, and the stationarity system on that active set is only
+    ``(nd + a)²`` — tiny next to the n×n basis machinery (n = nd + 2m).
+    Solves it min-norm (gelsy: degenerate duals give consistent singular
+    systems), drops wrong-signed multipliers for up to 3 sign-refinement
+    rounds (same discipline as algorithm.verify_solutions_batch), and
+    audits the FULL reconstructed z against the original AVI natural
+    residual — acceptance is the f64 audit, never the polish itself.
+
+    Returns (z, rn) with rn = +inf where no band/refinement certified.
+    """
+    import scipy.linalg as sla
+    Q = M0[:nd, :nd]
+    A = M0[nd:nd + m, :nd]
+    C = x0.shape[0]
+    n = M0.shape[0]
+    z_out = np.zeros((C, n))
+    rn_out = np.full(C, np.inf)
+    l2 = l64[:, nd + m:]
+    u2 = u64[:, nd + m:]
+    fin_l, fin_u = np.isfinite(l2), np.isfinite(u2)
+    eqr = fin_l & fin_u & (u2 - l2 < 1e-12)
+    stol = max(tol, 1e-9 * scale)
+    for i in range(C):
+        c = q[i, :nd]
+        off = q[i, nd:nd + m]
+        s0 = A @ x0[i] + off
+        best_rn, best_z = np.inf, None
+        for band in (1e-5 * scale, 1e-4 * scale, 1e-3 * scale):
+            act_l = fin_l[i] & (s0 <= l2[i] + band)
+            act_u = fin_u[i] & (s0 >= u2[i] - band) & ~act_l
+            for _ in range(3):
+                act = act_l | act_u | eqr[i]
+                idx = np.flatnonzero(act)
+                a = idx.size
+                E = A[idx]
+                b = np.where(act_l[idx] | eqr[i][idx], l2[i][idx],
+                             u2[i][idx])
+                K = np.zeros((nd + a, nd + a))
+                K[:nd, :nd] = Q
+                K[:nd, nd:] = -E.T
+                K[nd:, :nd] = E
+                rhs = np.concatenate([-c, b - off[idx]])
+                sol = sla.lstsq(K, rhs, lapack_driver="gelsy",
+                                check_finite=False)[0]
+                xh, mu = sol[:nd], sol[nd:]
+                lam = np.zeros(m)
+                lam[idx] = mu
+                bad = ((act_l & ~eqr[i] & (lam < -stol))
+                       | (act_u & ~eqr[i] & (lam > stol)))
+                if not bad.any():
+                    break
+                act_l, act_u = act_l & ~bad, act_u & ~bad
+            sh = A @ xh + off
+            z = np.concatenate([xh, lam, sh])
+            F = M0 @ z + q[i]
+            rn = np.abs(z - np.clip(z - F, l64[i], u64[i])).max()
+            if np.isfinite(rn) and rn < best_rn:
+                best_rn, best_z = rn, z
+            if best_rn <= tol:
+                break
+        if best_z is not None:
+            z_out[i], rn_out[i] = best_z, best_rn
+    return z_out, rn_out
+
+
+@functools.partial(jax.jit, static_argnames=("Cb",))
+def _admm_shared_call(Q, A, c, lo, hi, eps, Cb):
+    """Device-side broadcast of the shared QP blocks into the batched
+    mixed-precision ADMM (see :func:`_chip_admm_rung`).  ``eps`` is traced,
+    so the whole eps ladder shares one compiled kernel per Cb."""
+    from . import batch_qp
+    m = A.shape[0]
+    QB = jnp.broadcast_to(Q[None], (Cb,) + Q.shape)
+    AB = jnp.broadcast_to(A[None], (Cb,) + A.shape)
+    mask = jnp.ones((Cb, m), dtype=bool)
+    return batch_qp.solve_qp_batch(QB, c, AB, lo, hi, mask, eps=eps,
+                                   mixed=True)
+
+
+def _chip_admm_rung(M0, q, l64, u64, todo, structure, tol, scale,
+                    stats_iters):
+    """Structured-QP rung with the BULK ON THE CHIP: mixed-precision
+    batched ADMM on the underlying QPs (one while_loop dispatch — f64
+    iterates with f32 Cholesky factors + f64 refinement; pure-f32 ADMM
+    measurably stalls on this degenerate class at 0.07 constraint
+    violation after 4000 iters, and batched pure-f64 factorization
+    kernel-faults the TPU worker), then the tiny active-set host polish
+    (:func:`_structured_polish`).  Replaces ~1.7 s/lane of host-pinned f64
+    ADMM (measured: 140 s for the hard-seed straggler class) with one
+    device dispatch + milliseconds of host gelsy.
+
+    Returns (z, ok, device_flops) for the ``todo`` lanes; ok lanes
+    certified at the f64 natural-residual audit, device_flops the nominal
+    flop count of the on-device ADMM work (for the MFU ledger)."""
+    from . import batch_qp
+    nd, m = structure["nd"], structure["m"]
+    C = todo.size
+    Q = M0[:nd, :nd]
+    A = M0[nd:nd + m, :nd]
+    Qd, Ad = jnp.asarray(Q), jnp.asarray(A)
+    z_out = np.zeros((C, M0.shape[0]))
+    rn_out = np.full(C, np.inf)
+    pend = np.arange(C)
+    dev_fl = 0.0
+    # eps ladder, coarse first: most lanes' active sets identify at 1e-4
+    # (half the iterations of 1e-6); polish failures retry tighter.  eps is
+    # a traced input, so every rung shares one compiled kernel per Cb.
+    for eps in (1e-4, 1e-6):
+        if pend.size == 0:
+            break
+        x = np.empty((pend.size, nd))
+        # chunk at 128 lanes: the mixed kernel is probed safe at
+        # (128, 96, 256) and KERNEL-FAULTS the TPU worker at (512, ...) —
+        # re-measured round 5; the per-iteration cost is compute-bound so
+        # chunking costs only the per-dispatch latency
+        CHUNK = 128
+        for ofs in range(0, pend.size, CHUNK):
+            sel = slice(ofs, min(ofs + CHUNK, pend.size))
+            csz = sel.stop - sel.start
+            idx = todo[pend[sel]]
+            c = q[idx, :nd]
+            off = q[idx, nd:nd + m]
+            l2 = l64[idx, nd + m:nd + 2 * m]
+            u2 = u64[idx, nd + m:nd + 2 * m]
+            # bucket-pad lanes (lane-0 copies) so counts reuse shapes
+            Cb = next(b for b in (8, 16, 32, 64, 128) if b >= csz)
+            pad = Cb - csz
+
+            def _p(a):
+                return (np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
+                        if pad else a)
+            # Q and A are SHARED across lanes: broadcast ON DEVICE (a
+            # jit-level broadcast_to) instead of shipping Cb host replicas
+            # through the tunnel (~35 MB at Cb=128 — measured as the
+            # dominant fixed cost)
+            sol = jax.device_get(_admm_shared_call(
+                Qd, Ad, jnp.asarray(_p(c)),
+                jnp.asarray(_p(l2 - off)), jnp.asarray(_p(u2 - off)),
+                eps, Cb))
+            x[sel] = np.asarray(sol.x, dtype=np.float64)[:csz]
+            it_l = np.asarray(sol.iters, dtype=np.int64)
+            stats_iters[idx] += it_l[:csz]
+            # nominal on-device flops: per iteration two (m,nd) matvecs +
+            # the Kinv apply/refinements (~5 nd² GEMVs), per 25-iter epoch
+            # one f32 Cholesky + explicit inverse (4/3 nd³)
+            its = float(it_l.sum())
+            dev_fl += (its * (4.0 * m * nd + 10.0 * nd * nd)
+                       + its / 25.0 * (4.0 / 3.0) * nd ** 3)
+        ti = todo[pend]
+        z, rn = _structured_polish(M0, nd, m, q[ti], l64[ti], u64[ti],
+                                   x, tol, scale)
+        better = rn < rn_out[pend]
+        z_out[pend[better]] = z[better]
+        rn_out[pend[better]] = rn[better]
+        pend = pend[~(np.isfinite(rn) & (rn <= tol))]
+    ok = np.isfinite(rn_out) & (rn_out <= tol)
+    return z_out, ok, dev_fl
+
+
 def _escalation_device():
     """Device the generic escalation rung runs on: ALWAYS a host CPU device
     when the default backend is an accelerator.
@@ -744,12 +915,24 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     # lanes whose round-0 factorization was singular keep the EG iterate as
     # their classification point — fill their natural map now (the full-
     # ensemble F64 host GEMM this replaces cost more than these few lanes)
+    ladder = np.ones(S, dtype=bool)
+    # newton_rounds from here on covers the δ-ladder only (round 0 has its
+    # own round0_compute / round0_fetch entries)
+    _t = time.perf_counter()
     if sing0:
         s0 = np.asarray(sing0, dtype=np.int64)
         Fc[s0] = Zc[s0] @ M0.T + q[s0]
+        if structure is not None:
+            # round-0-singular lanes ARE the dual-degenerate class: measured
+            # on both the benign seed (11 ladder rounds certify 9/14, ADMM
+            # takes the rest) and the hard seed (ladder certifies 0/82,
+            # ADMM 82/82) — the δ ladder is the wrong tool for them, so
+            # they skip it and go straight to the structured-QP rung
+            ladder[s0] = False
+            _dbg(f"{s0.size} round-0-singular lanes routed ADMM-first")
 
     for rd in range(1, newton_rounds):
-        todo = np.flatnonzero(~done & active)
+        todo = np.flatnonzero(~done & active & ladder)
         if todo.size == 0:
             break
         if rd - progress_rd[0] >= 8:
@@ -826,6 +1009,28 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
             _absorb(sel, zc, Fchunk, rn, rp, rd)
 
     phase_t["newton_rounds"] = time.perf_counter() - _t
+    _t = time.perf_counter()
+
+    # chip-bulk structured rung FIRST: f32 ADMM on the underlying QPs as ONE
+    # device dispatch (f32 Cholesky at nd — not the f64 factorization class
+    # that faults the worker) + tiny active-set host polish.  Certifies the
+    # dual-degenerate lane class at device speed; only its remnants pay the
+    # host-pinned f64 ADMM below.
+    todo = np.flatnonzero(~done)
+    # the chip rung (split-f32 mixed ADMM + structured polish) is first for
+    # ANY straggler count: with the split-f32 iteration it beats the host
+    # f64 rung at every measured size (0.88 s vs 140 s at 512 hard-seed
+    # lanes; ~0.3 s vs ~1 s at 14 benign lanes), and one path keeps the
+    # straggler population's resolution deterministic
+    chip_admm_flops = 0.0
+    if todo.size and structure is not None:
+        METRICS.bump("shared_kkt_chip_admm_rung", todo.size)
+        zc, ok, chip_admm_flops = _chip_admm_rung(
+            M0, q, l64, u64, todo, structure, tol, scale, iters_out)
+        z_out[todo[ok]] = zc[ok]
+        done[todo[ok]] = True
+        _dbg(f"chip ADMM rung lanes={todo.size} ok={int(ok.sum())}")
+    phase_t["chip_admm_rung"] = time.perf_counter() - _t
     _t = time.perf_counter()
 
     # structured ADMM rung FIRST among the escalations: these ensembles
@@ -965,7 +1170,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         stats.update(dict(
             eg_iters=eg_iters, lu_factored=lu_factored,
             refine_gemms=refine_gemms, host_solves=host_solves,
-            device_flops=eg_fl + lu_fl + tri_fl + ref_fl,
+            device_flops=eg_fl + lu_fl + tri_fl + ref_fl + chip_admm_flops,
             device_bytes=4.0 * (eg_iters * (n * n + 3.0 * S * n)
                                 + lu_factored * 2.0 * n * n),
             phase_t={k: round(v, 3) for k, v in phase_t.items()},

@@ -155,19 +155,22 @@ class TestDesignScale:
 
     def test_hard_seed_degenerate_class_via_admm_rung(self):
         """Seed-2 ensembles are degenerate-heavy (the δ-ladder certifies
-        ~0 of their stuck lanes); the ADMM-first escalation must absorb
-        them — every lane certifies, the generic rung stays cold, and the
-        structured ADMM rung visibly engages."""
+        ~0 of their stuck lanes); the structured-QP rung must absorb them —
+        every lane certifies through the CHIP-bulk rung (f32 device ADMM +
+        active-set host polish), and both the host-pinned f64 ADMM fallback
+        and the generic rung stay cold."""
         from qpn_tpu.utils.metrics import METRICS
         b = scenario_batch_gavis(num_scenarios=32, T=8, num_obj=4,
                                  num_poly_faces=4, seed=2)
+        c0 = METRICS.counters.get("shared_kkt_chip_admm_rung", 0)
         a0 = METRICS.counters.get("shared_kkt_admm_escalation", 0)
         g0 = METRICS.counters.get("shared_kkt_generic_escalation", 0)
         res = solve_kkt_avi_shared(b["M"], b["q"], b["l"], b["u"], b["mask"],
                                    tol=1e-8, structure=b["structure"])
         assert bool(np.asarray(res.converged).all())
         assert float(np.asarray(res.resid).max()) <= 1e-8
-        assert METRICS.counters.get("shared_kkt_admm_escalation", 0) > a0
+        assert METRICS.counters.get("shared_kkt_chip_admm_rung", 0) > c0
+        assert METRICS.counters.get("shared_kkt_admm_escalation", 0) == a0
         assert METRICS.counters.get("shared_kkt_generic_escalation", 0) == g0
 
     def test_escalation_rung_runs_and_certifies(self, monkeypatch):
