@@ -77,8 +77,13 @@ def check_qp_convexity(Q, A, l, u, dec_inds, pid, tol: float = 1e-6):
 # --------------------------------------------------------------------------
 
 def verify_solution(qp, pid, constraints: Sequence[Poly], dec_inds, x,
-                    check_convexity: bool = False, tol: float = 1e-4):
+                    check_convexity: bool = False, tol: float = 1e-4,
+                    feas_tol: float = 1e-3):
     """KKT verification of x for one node's QP given fixed other-player vars.
+
+    ``feas_tol`` gates feasibility (QPNetOptions.verify_feas_tol; the
+    reference hardcodes 1e-3 and misreports it as ``tol``,
+    qp_processing.jl:86-89).
 
     Returns namespace(solution: bool, lam: array | None, e: str | None)."""
     x = np.asarray(x, dtype=np.float64)
@@ -100,20 +105,18 @@ def verify_solution(qp, pid, constraints: Sequence[Poly], dec_inds, x,
     if check_convexity:
         check_qp_convexity(qp.f.Q, A, l, u, dec_inds, pid)
 
-    feasible = all(c.contains(x, tol=1e-3) for c in constraints)
+    feasible = all(c.contains(x, tol=feas_tol) for c in constraints)
     if not feasible:
         return SimpleNamespace(
             solution=False, lam=None,
-            e=f"Current point is infeasible when using tolerance {tol}.")
+            e="Current point is infeasible when using tolerance "
+              f"{feas_tol}.")
 
     if m == 0:
         if np.allclose(q_tilde, 0.0, atol=tol):
             return SimpleNamespace(solution=True, lam=np.zeros(0), e=None)
         return SimpleNamespace(solution=False, lam=None,
                                e="Current point is suboptimal")
-
-    # NOTE the 1e-3 feasibility gate above reports `tol` in its message:
-    # deliberate reference parity (qp_processing.jl:86-89 does exactly this)
     ax = A @ x
     pos = ax < l + 1e-2          # lower-active window (qp_processing.jl:98)
     neg = ax > u - 1e-2
@@ -162,7 +165,8 @@ def verify_solution(qp, pid, constraints: Sequence[Poly], dec_inds, x,
 #  batched verification — (nodes × piece-combos) in one kernel
 # --------------------------------------------------------------------------
 
-def verify_solutions_batch(tasks, x, tol: float = 1e-4):
+def verify_solutions_batch(tasks, x, tol: float = 1e-4,
+                           feas_tol: float = 1e-3):
     """Batched KKT verification over a list of (qp, constraints, dec_inds)
     tasks at the shared point x — the fused form of §3.3's observation that
     verify_solution is a pure function of (qp, constraints, x), batched over
@@ -193,7 +197,7 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
             l = np.zeros(0)
             u = np.zeros(0)
         q_t = qp.f.Q[dec_inds, :] @ x + qp.f.q[dec_inds]
-        feasible = all(c.contains(x, tol=1e-3) for c in constraints)
+        feasible = all(c.contains(x, tol=feas_tol) for c in constraints)
         prepared.append((A, l, u, q_t, dec_inds, feasible))
         m_max = max(m_max, A.shape[0])
         d_max = max(d_max, len(dec_inds))
@@ -212,7 +216,8 @@ def verify_solutions_batch(tasks, x, tol: float = 1e-4):
         if not feasible:
             results[i] = SimpleNamespace(
                 solution=False, lam=None,
-                e=f"Current point is infeasible when using tolerance {tol}.")
+                e="Current point is infeasible when using tolerance "
+                  f"{feas_tol}.")
             continue
         if m == 0:
             ok = np.allclose(q_t, 0.0, atol=tol)
@@ -607,7 +612,9 @@ def process_qp(qpn: QPNet, pid: int, x, S: Dict[int, PolyUnion],
                rng: Optional[np.random.Generator] = None,
                request=frozenset(), make_requests: bool = False):
     prep = _prepare_qp_tasks(qpn, pid, x, S)
-    verifies = verify_solutions_batch(prep.tasks, x)
+    verifies = verify_solutions_batch(
+        prep.tasks, x, tol=qpn.options.tol,
+        feas_tol=qpn.options.verify_feas_tol)
     return _finish_process_qp(qpn, pid, x, prep, verifies,
                               exploration_vertices, rng,
                               request=request, make_requests=make_requests)
@@ -625,7 +632,9 @@ def process_qps_level(qpn: QPNet, players, x, S: Dict[int, PolyUnion],
     phase (already kernel-batched internally) runs per node."""
     preps = [_prepare_qp_tasks(qpn, pid, x, S) for pid in players]
     flat_tasks = [t for p in preps for t in p.tasks]
-    flat_verifies = verify_solutions_batch(flat_tasks, x)
+    flat_verifies = verify_solutions_batch(
+        flat_tasks, x, tol=qpn.options.tol,
+        feas_tol=qpn.options.verify_feas_tol)
     out = []
     k = 0
     for pid, prep in zip(players, preps):
@@ -921,7 +930,9 @@ def _try_potential_qp(qpn: QPNet, player_pool, x, S, dec_inds, param_inds):
                 for ci in qpn.qps[pid].constraint_indices]
         cons += [S[j] for j in sorted(qpn.network_edges[pid])]
         tasks.append((qpn.qps[pid], cons, qpn.decision_inds(pid)))
-    checks = verify_solutions_batch(tasks, x_opt)
+    checks = verify_solutions_batch(
+        tasks, x_opt, tol=qpn.options.tol,
+        feas_tol=qpn.options.verify_feas_tol)
     if not all(r.solution for r in checks):
         return None
     METRICS.bump("qep_potential_fastpath")

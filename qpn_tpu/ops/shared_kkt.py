@@ -412,6 +412,19 @@ def _label_hash(at_l, at_u, w):
     return _wrap32(h)
 
 
+def _fetch(a):
+    """Host copy of a possibly process-spanning device array: plain
+    np.asarray in one process, a tiled process_allgather when the mesh
+    spans jax.distributed processes (fetching non-addressable shards
+    directly is illegal) — the same contract as parallel.sharded's
+    _fetch_global, local here to keep the route import-light."""
+    if (isinstance(a, jax.Array) and jax.process_count() > 1
+            and not a.is_fully_addressable):
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 def _nat_resid_shared(M0, q, l, u, Z):
     F = Z @ M0.T + q
     with np.errstate(invalid="ignore"):
@@ -693,6 +706,14 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     Mt32 = _putR(np.asarray(M0.T, dtype=f32))
     M32_d = _putR(np.asarray(M0, dtype=f32))
     M64_d = _putR(M0)
+    # the δ-ladder rounds and the escalation rungs are process-LOCAL
+    # replicated host work; under a process-spanning mesh they must not
+    # consume non-addressable arrays, so they get local copies of M
+    if mesh is not None and jax.process_count() > 1:
+        M32_l = jnp.asarray(np.asarray(M0, dtype=f32))
+        M64_l = jnp.asarray(M0)
+    else:
+        M32_l, M64_l = M32_d, M64_d
     Q32 = _putS(np.asarray(q, dtype=f32))
     L32 = _putS(np.asarray(l64, dtype=f32))
     U32 = _putS(np.asarray(u64, dtype=f32))
@@ -758,7 +779,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
 
     phase_t["eg"] = time.perf_counter() - _t
     _t = time.perf_counter()
-    Z64 = np.asarray(Z, dtype=np.float64)
+    Z64 = _fetch(Z).astype(np.float64)
     phase_t["eg_fetch"] = time.perf_counter() - _t
     _t = time.perf_counter()
 
@@ -890,11 +911,14 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         lu_factored += sel.size
         refine_gemms += (REFINES + 1) * sel.size
         iters_out[sel] += 1
-        rn = np.asarray(rn_d)    # tiny fetch; blocks on the compute
+        rn = _fetch(rn_d)        # tiny fetch; blocks on the compute
         phase_t["round0_compute"] = (
             phase_t.get("round0_compute", 0.0) + time.perf_counter() - _t0)
         _t0 = time.perf_counter()
-        zc, hs = (np.asarray(a) for a in jax.device_get((zc_d, h_d)))
+        if jax.process_count() > 1:
+            zc, hs = _fetch(zc_d), _fetch(h_d)
+        else:
+            zc, hs = (np.asarray(a) for a in jax.device_get((zc_d, h_d)))
         phase_t["round0_fetch"] = (
             phase_t.get("round0_fetch", 0.0) + time.perf_counter() - _t0)
         # record the round-0 fingerprints so a lane re-presenting the same
@@ -992,7 +1016,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
                     a = np.asarray(a)
                     return (np.concatenate(
                         [a, np.repeat(a[:1], pad, axis=0)]) if pad else a)
-                args = (M32_d, M64_d, jnp.asarray(_p(free[sl])),
+                args = (M32_l, M64_l, jnp.asarray(_p(free[sl])),
                         jnp.asarray(_p(bval[sl])), jnp.asarray(_p(q[sel])),
                         jnp.asarray(_p(l64[sel])),
                         jnp.asarray(_p(u64[sel])),
@@ -1122,7 +1146,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         delta_p = 0.05 * max(Lip, 1e-12)
         tau_p = np.float32(0.9 / (Lip + delta_p))
         zp_d, rnp_d, kp = _prox_eg_rung(
-            M32_d, M64_d, jnp.asarray(_p(q[todo])),
+            M32_l, M64_l, jnp.asarray(_p(q[todo])),
             jnp.asarray(_p(l64[todo])), jnp.asarray(_p(u64[todo])),
             jnp.asarray(_p(Zc[todo])), np.float32(delta_p), tau_p,
             tol, 1000, 40)

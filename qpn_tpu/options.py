@@ -54,6 +54,12 @@ class QPNetOptions:
     check_convexity: bool = False
     check_for_cycling: bool = True
     perturb_to_continue: bool = True
+    # Feasibility gate of verify_solution.  The reference hardcodes 1e-3
+    # while REPORTING options.tol in the error message
+    # (qp_processing.jl:86-89) — the default preserves that behavioral
+    # parity, but the gate is now a real option and the message reports the
+    # tolerance actually used (VERDICT r4 item 8).
+    verify_feas_tol: float = 1e-3
 
 
 def set_options(options: QPNetOptions, **kwargs) -> None:

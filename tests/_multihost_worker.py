@@ -61,8 +61,26 @@ def main():
         assert o.solved, getattr(o, "error", None) or vars(o)
     x_opts = np.stack([np.asarray(o.x_opt) for o in outs])
 
+    # (c) trajectory-scale shared-KKT route over the SAME process-spanning
+    # mesh (VERDICT r4 item 4): S=4096 scenarios shard across both
+    # processes' devices; the EG pre-pass and fused round 0 are global SPMD
+    # dispatches (allgather fetches), the policy rounds / rungs replicate
+    # host-side — lane outcomes must be EXACTLY the single-process ones.
+    import time
+    from qpn_tpu.ops.shared_kkt import solve_kkt_avi_shared
+    sb = scenario_batch_gavis(num_scenarios=4096, T=2, num_obj=1,
+                              num_poly_faces=4, seed=0)
+    t0 = time.perf_counter()
+    res = solve_kkt_avi_shared(sb["M"][0], sb["q"], sb["l"], sb["u"], None,
+                               tol=1e-8, structure=sb["structure"],
+                               mesh=mesh)
+    shared_wall = time.perf_counter() - t0
+
     np.savez(out_path, z=z_full, keep=keep, frac=frac, x_opts=x_opts,
-             waves=broker.waves, process_index=info["process_index"])
+             waves=broker.waves, process_index=info["process_index"],
+             shared_z=np.asarray(res.z), shared_iters=np.asarray(res.iters),
+             shared_conv=np.asarray(res.converged),
+             shared_wall=shared_wall)
     print("WORKER_OK", pid, flush=True)
 
 

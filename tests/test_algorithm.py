@@ -41,6 +41,29 @@ def test_verify_solution_active_constraint():
     assert "infeasible" in ret.e
 
 
+def test_verify_feas_tol_option():
+    """The feasibility gate is a real option (VERDICT r4 item 8): the
+    reference hardcodes 1e-3 and misreports options.tol in the message
+    (qp_processing.jl:86-89); here the default keeps the 1e-3 behavior but
+    the gate is configurable and the message reports the tolerance USED."""
+    from qpn_tpu.algorithm import verify_solutions_batch
+    from qpn_tpu.options import QPNetOptions
+    qp = _qp([[0.0]], [1.0], [1], [0])
+    box = Poly(np.array([[1.0]]), [0.0], [np.inf])
+    x = np.array([-1e-4])        # infeasible by 1e-4
+    # default gate (1e-3, reference parity): the point passes feasibility
+    assert verify_solution(qp, 1, [box], [0], x).solution
+    # tightened gate: rejected, and the message quotes the REAL gate
+    ret = verify_solution(qp, 1, [box], [0], x, feas_tol=1e-6)
+    assert not ret.solution
+    assert "1e-06" in ret.e
+    # batch variant honors the same knob
+    ret_b = verify_solutions_batch([(qp, [box], [0])], x, feas_tol=1e-6)[0]
+    assert not ret_b.solution and "1e-06" in ret_b.e
+    # the option exists with the parity default
+    assert QPNetOptions().verify_feas_tol == 1e-3
+
+
 def test_check_qp_convexity_raises():
     A = np.array([[1.0]])
     with pytest.raises(RuntimeError, match="not convex"):

@@ -70,6 +70,17 @@ def test_two_process_superstep_and_lockstep_parity(tmp_path):
         x_ref.append(np.asarray(r.x_opt))
     x_ref = np.stack(x_ref)
 
+    # single-process shared-route reference over an 8-device mesh
+    # (VERDICT r4 item 4: the trajectory-scale shared route across a
+    # process boundary, lane-exact)
+    from qpn_tpu.ops.shared_kkt import solve_kkt_avi_shared
+    sb = scenario_batch_gavis(num_scenarios=4096, T=2, num_obj=1,
+                              num_poly_faces=4, seed=0)
+    sref = solve_kkt_avi_shared(sb["M"][0], sb["q"], sb["l"], sb["u"],
+                                None, tol=1e-8,
+                                structure=sb["structure"], mesh=mesh)
+    assert bool(np.asarray(sref.converged).all())
+
     for i, path in enumerate(outs):
         d = np.load(path)
         assert d["process_index"] == i
@@ -80,3 +91,10 @@ def test_two_process_superstep_and_lockstep_parity(tmp_path):
         np.testing.assert_allclose(d["x_opts"], x_ref, atol=1e-9,
                                    err_msg=f"lockstep x_opt, worker {i}")
         assert int(d["waves"]) >= 1
+        assert bool(d["shared_conv"].all()), f"shared route, worker {i}"
+        np.testing.assert_allclose(
+            d["shared_z"], np.asarray(sref.z), atol=1e-9,
+            err_msg=f"shared-route z, worker {i}")
+        np.testing.assert_array_equal(d["shared_iters"],
+                                      np.asarray(sref.iters))
+        assert float(d["shared_wall"]) > 0.0
