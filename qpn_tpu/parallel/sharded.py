@@ -220,14 +220,35 @@ def equilibrium_superstep(mesh: Mesh, batch, tol=1e-8, max_iter=840):
     """One full sharded equilibrium iteration — the framework's "training
     step" analogue, exercised by __graft_entry__.dryrun_multichip.
 
-    1. scenario-sharded batched AVI Newton solve        (dp)
+    1. scenario-sharded batched AVI solve               (dp)
     2. global convergence fraction                      (psum)
     3. active-set signatures per scenario solution
     4. collective duplicate-piece prune                 (all_gather, ep/tp)
+
+    Trajectory-scale shared-matrix ensembles (``batch["structure"]`` with
+    ``shared_M`` at n ≥ config.shared_kkt_min_n) route through the shared
+    GEMM+policy-iteration path with the SAME mesh — at n≥600 the generic
+    per-lane Newton kernel is both slower and (on TPU) the round-3
+    kernel-fault class; small ensembles keep the sharded Newton kernel.
     """
-    res = sharded_avi_solve(mesh, batch["M"], batch["q"], batch["l"],
-                            batch["u"], batch["z0"], batch["mask"],
-                            tol=tol, max_iter=max_iter)
+    structure = batch.get("structure") if hasattr(batch, "get") else None
+    n = np.asarray(batch["M"]).shape[-1]
+    from ..config import CONFIG
+    if (structure is not None and structure.get("shared_M")
+            and n >= CONFIG.shared_kkt_min_n
+            and np.asarray(batch["mask"]).all()):
+        from ..ops.shared_kkt import solve_kkt_avi_shared
+        M0 = np.asarray(batch["M"], dtype=np.float64)
+        res = solve_kkt_avi_shared(
+            M0[0] if M0.ndim == 3 else M0, batch["q"], batch["l"],
+            batch["u"], None, tol=tol, structure=structure, mesh=mesh)
+        res = type(res)(z=jnp.asarray(res.z), resid=jnp.asarray(res.resid),
+                        iters=jnp.asarray(res.iters),
+                        converged=jnp.asarray(res.converged))
+    else:
+        res = sharded_avi_solve(mesh, batch["M"], batch["q"], batch["l"],
+                                batch["u"], batch["z0"], batch["mask"],
+                                tol=tol, max_iter=max_iter)
     z = res.z
     frac = jnp.mean(res.converged.astype(jnp.float64))
     l = jnp.asarray(batch["l"])

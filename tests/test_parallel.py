@@ -72,6 +72,27 @@ def test_equilibrium_superstep():
 
 
 @requires_multidevice
+def test_equilibrium_superstep_routes_shared_at_trajectory_scale():
+    """The superstep routes trajectory-scale shared-matrix ensembles (the
+    E2E_r05 class) through the shared GEMM route on the same mesh — the
+    generic per-lane Newton kernel at n≥600 is both slower and the TPU
+    kernel-fault class (BENCH_r03)."""
+    from qpn_tpu.models.robust_avoid import scenario_batch_gavis
+    from qpn_tpu.parallel.mesh import make_mesh
+    from qpn_tpu.parallel.sharded import equilibrium_superstep
+    from qpn_tpu.utils.metrics import METRICS
+    mesh = make_mesh(8)
+    batch = scenario_batch_gavis(num_scenarios=16, T=8, num_obj=4,
+                                 num_poly_faces=4, seed=0)
+    assert batch["M"].shape[1] >= 600
+    c0 = METRICS.counters.get("shared_kkt_solves", 0)
+    out = equilibrium_superstep(mesh, batch, tol=1e-8)
+    assert float(np.asarray(out["converged_frac"])) == 1.0
+    assert METRICS.counters.get("shared_kkt_solves", 0) > c0
+    assert np.asarray(out["keep"]).shape == (16,)
+
+
+@requires_multidevice
 @pytest.mark.slow
 def test_equilibrium_superstep_64():
     """The BASELINE 64-scenario configuration through the sharded step."""
