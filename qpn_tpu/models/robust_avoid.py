@@ -126,6 +126,28 @@ def setup(T: int = 3, num_obj: int = 1, num_poly_faces: int = 4,
     return net
 
 
+def hard_chunk_job(S: int, T: int, num_obj: int, pf: int, seed: int,
+                   tol: float = 1e-8):
+    """One procpool work unit of the DEGENERATE trajectory class: build the
+    seed's scenario certificate ensemble and solve it end-to-end through
+    the shared route (seed 2 at T=8/num_obj=4 is the dual-degenerate-heavy
+    class the δ-ladder cannot certify — BASELINE.md hard-seed analysis).
+    Module-level so :func:`qpn_tpu.parallel.procpool.map_processes` can
+    ship it to spawned workers by reference.  Returns
+    (converged_frac, max_resid, |z|-checksum) — the checksum lets the
+    ladder assert worker results are bit-identical to the serial run."""
+    import numpy as np
+    from ..ops.shared_kkt import solve_kkt_avi_shared
+    b = scenario_batch_gavis(num_scenarios=S, T=T, num_obj=num_obj,
+                             num_poly_faces=pf, seed=seed)
+    r = solve_kkt_avi_shared(b["M"][0], b["q"], b["l"], b["u"], None,
+                             tol=tol, structure=b["structure"])
+    z = np.asarray(r.z)
+    return (float(np.asarray(r.converged).mean()),
+            float(np.asarray(r.resid).max()),
+            float(np.abs(z).sum()))
+
+
 def scenario_batch_gavis(num_scenarios: int = 64, T: int = 3,
                          num_obj: int = 1, num_poly_faces: int = 4,
                          seed: int = 0):

@@ -30,7 +30,7 @@ from __future__ import annotations
 import os
 from typing import List, Optional, Sequence
 
-__all__ = ["solve_many_processes"]
+__all__ = ["solve_many_processes", "map_processes"]
 
 
 def _proc_init(counter=None, pin: bool = False):
@@ -99,3 +99,41 @@ def solve_many_processes(qpns: Sequence, x_inits: Optional[Sequence] = None,
     with ctx.Pool(processes=n_workers, initializer=_proc_init,
                   initargs=(counter, True)) as pool:
         return pool.map(_proc_solve, jobs, chunksize=1)
+
+
+def _call_job(job):
+    fn, args = job
+    return fn(*args)
+
+
+def map_processes(fn, jobs: Sequence, n_workers: Optional[int] = None,
+                  pin: bool = True) -> List:
+    """Generic process-parallel map for host-side solver work.
+
+    ``fn`` must be a module-level (picklable-by-reference) callable; each
+    element of ``jobs`` is an argument tuple.  Workers are spawned CPU-only
+    JAX processes with the same core-pinning discipline as
+    :func:`solve_many_processes` (``pin=True``: one core per worker — an
+    unpinned pool oversubscribes XLA/BLAS intra-op threads and LOSES to
+    serial, measured).  ``n_workers=1`` runs in-process — with ``pin`` it
+    still restricts THIS process to one core for the duration, so a
+    1-vs-W ladder is an equal-cores-per-worker strong-scaling measurement
+    (the control tests/test_scaling.py uses).
+    """
+    import multiprocessing as mp
+
+    jobs = [(fn, tuple(a)) for a in jobs]
+    if n_workers is None:
+        n_workers = min(os.cpu_count() or 1, len(jobs))
+    n_workers = max(1, min(n_workers, len(jobs)))
+    if n_workers == 1 and not pin:
+        return [_call_job(j) for j in jobs]
+    # pinned single-worker runs in a spawned child too: pinning must land
+    # BEFORE the jax/BLAS thread pools exist (re-pinning this process would
+    # leave XLA's already-created intra-op threads on every core and void
+    # the equal-cores control)
+    ctx = mp.get_context("spawn")
+    counter = ctx.Value("i", 0)
+    with ctx.Pool(processes=n_workers, initializer=_proc_init,
+                  initargs=(counter, pin)) as pool:
+        return pool.map(_call_job, jobs, chunksize=1)
