@@ -80,7 +80,8 @@ def _ruiz_equilibrate(P, q, A, row_mask, iters=10):
 
 
 def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
-                check_every, banded_k=0, mixed=False):
+                check_every, banded_k=0, mixed=False,
+                x_init=None, y_init=None, polish=True):
     """Single-instance OSQP-style ADMM. All shapes static; vmapped by caller.
 
     Invalid (padded) rows must come with a=0, l=-inf, u=+inf, row_mask=False.
@@ -130,43 +131,59 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         assert n % banded_k == 0, "banded_k must divide the variable count"
         Tb = n // banded_k
 
-    # rho enters K only as a scalar multiple of the CONSTANT Gram matrix
-    # G = A'·diag(base)·A (base = per-row class multiplier): K(ρ) = K0 + ρG.
-    # Hoisting G out of factor() removes the per-epoch A'RA matmul — on TPU
-    # in mixed mode that matmul is f64-emulated and dominated the whole
-    # solve (measured: 17 s → the per-iteration GEMVs for a 128×(96,256)
-    # hard-seed batch).
-    base_r = rho_vec(jnp.asarray(1.0, dtype=dt))
-    G = (A.T * base_r[None, :]) @ A
-    K0 = P + sigma * jnp.eye(n, dtype=dt)
+    _HI = jax.lax.Precision.HIGHEST
+
+    def _split(M):
+        Mh = M.astype(f32)
+        return Mh, (M - Mh.astype(dt)).astype(f32)
+
+    def _split_mv(Mh, Ml, v):
+        vh = v.astype(f32)
+        vl = (v - vh.astype(dt)).astype(f32)
+        return (jnp.dot(Mh, vh, precision=_HI).astype(dt)
+                + jnp.dot(Mh, vl, precision=_HI).astype(dt)
+                + jnp.dot(Ml, vh, precision=_HI).astype(dt))
 
     if mixed:
-        # split-f32 (double-float) matvecs for the per-iteration A/Aᵀ
-        # products: M·v ≈ M_hi·v_hi + M_hi·v_lo + M_lo·v_hi, each an MXU
-        # matmul at Precision.HIGHEST (~1e-7 relative) — f64-emulated
-        # matmuls on TPU ran at ~4 GFLOP/s and were the entire iteration
-        # cost.  The ~1e-6·scale noise floor this leaves is below the
-        # eps=1e-4 target the mixed rung uses; termination residuals stay
-        # exact f64 (per-epoch only).
-        _HI = jax.lax.Precision.HIGHEST
-        A_hi = A.astype(f32)
-        A_lo = (A - A_hi.astype(dt)).astype(f32)
-
-        def _split_mv(Mh, Ml, v):
-            vh = v.astype(f32)
-            vl = (v - vh.astype(dt)).astype(f32)
-            return (jnp.dot(Mh, vh, precision=_HI).astype(dt)
-                    + jnp.dot(Mh, vl, precision=_HI).astype(dt)
-                    + jnp.dot(Ml, vh, precision=_HI).astype(dt))
+        # split-f32 (double-float) products for EVERY dense matmul/matvec
+        # in the solve: M·v ≈ M_hi·v_hi + M_hi·v_lo + M_lo·v_hi, each an
+        # MXU op at Precision.HIGHEST (~1e-7 relative) — f64-emulated
+        # matmuls on TPU run at ~4 GFLOP/s and dominated the solve at
+        # every batch shape measured (the per-iteration GEMVs at
+        # 128×(96,256); the per-call A'·base·A Gram build at
+        # 128×(192,512) — ~5 f64-emu GF per call).  The ~1e-7·scale noise
+        # floor sits below the eps=1e-4/1e-6 targets the mixed rung uses,
+        # and acceptance is always the caller's exact-f64 audit.
+        A_hi, A_lo = _split(A)
+        P_hi, P_lo = _split(P)
 
         def matA(v):
             return _split_mv(A_hi, A_lo, v)
 
         def matAT(v):
             return _split_mv(A_hi.T, A_lo.T, v)
+
+        def matP(v):
+            return _split_mv(P_hi, P_lo, v)
     else:
         matA = lambda v: A @ v          # noqa: E731
         matAT = lambda v: A.T @ v       # noqa: E731
+        matP = lambda v: P @ v          # noqa: E731
+
+    # rho enters K only as a scalar multiple of the CONSTANT Gram matrix
+    # G = A'·diag(base)·A (base = per-row class multiplier): K(ρ) = K0 + ρG.
+    # Hoisting G out of factor() removes the per-epoch A'RA matmul; in
+    # mixed mode the build itself is a split-f32 matrix product.
+    base_r = rho_vec(jnp.asarray(1.0, dtype=dt))
+    Atb = A.T * base_r[None, :]
+    if mixed:
+        Atb_hi, Atb_lo = _split(Atb)
+        G = (jnp.dot(Atb_hi, A_hi, precision=_HI).astype(dt)
+             + jnp.dot(Atb_hi, A_lo, precision=_HI).astype(dt)
+             + jnp.dot(Atb_lo, A_hi, precision=_HI).astype(dt))
+    else:
+        G = Atb @ A
+    K0 = P + sigma * jnp.eye(n, dtype=dt)
 
     def factor(rho):
         R = rho * base_r
@@ -182,18 +199,18 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
             Cd = Cd.at[Tb - 1].set(0.0)
             return cr_factor(Ad, Bd, Cd), R
         if mixed:
-            # explicit f32 inverse via the Cholesky factor: one pair of
-            # triangular solves per REFACTOR instead of per solve — on TPU
-            # batched trisolves are sequential-latency-bound; with Kinv
-            # every x-update is a pure MXU matmul, and the split-f32
-            # refinement against K restores the accuracy the explicit
-            # inverse loses
+            # explicit f32 inverse via the Cholesky factor: ONE triangular
+            # solve per refactor (L⁻¹) + an MXU matmul (Kinv = L⁻ᵀL⁻¹) —
+            # batched trisolves are the sequential-latency-bound op on TPU;
+            # with Kinv every x-update is a pure MXU matmul, and the
+            # split-f32 refinement against K restores the accuracy the
+            # explicit inverse loses
             K_hi = K.astype(f32)
             K_lo = (K - K_hi.astype(dt)).astype(f32)
             L32 = jnp.linalg.cholesky(K_hi)
             eyef = jnp.eye(n, dtype=f32)
-            w = jax.scipy.linalg.solve_triangular(L32, eyef, lower=True)
-            Kinv = jax.scipy.linalg.solve_triangular(L32.T, w, lower=False)
+            Linv = jax.scipy.linalg.solve_triangular(L32, eyef, lower=True)
+            Kinv = jnp.dot(Linv.T, Linv, precision=_HI)
             return (Kinv, K_hi, K_lo), R
         return jnp.linalg.cholesky(K), R
 
@@ -214,22 +231,31 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
         return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
 
-    L0, R0 = factor(jnp.asarray(rho0, dtype=dt))
-
-    x0 = jnp.zeros(n, dtype=dt)
-    z0 = jnp.zeros(m, dtype=dt)
-    y0 = jnp.zeros(m, dtype=dt)
+    # warm start in SCALED coordinates (x = Dsc·x̂, y = Esc·ŷ): an EG-grade
+    # (~1e-3) primal/dual estimate cuts the iteration count several-fold on
+    # trajectory-scale QPs (measured in the shared-route chip rung)
+    if x_init is not None:
+        x0 = (x_init / Dsc).astype(dt)
+        z0 = jnp.clip(matA(x0), lc, uc)
+    else:
+        x0 = jnp.zeros(n, dtype=dt)
+        z0 = jnp.zeros(m, dtype=dt)
+    if y_init is not None:
+        y0 = (y_init / jnp.where(Esc == 0, 1.0, Esc)).astype(dt)
+    else:
+        y0 = jnp.zeros(m, dtype=dt)
 
     def residuals(x, z, y):
-        Ax = A @ x
+        Ax = matA(x)
+        Px = matP(x)
+        Aty = matAT(y)
         prim = jnp.max(jnp.abs(Ax - z) * row_mask, initial=0.0)
-        dual_vec = P @ x + q + A.T @ y
-        dual = jnp.max(jnp.abs(dual_vec), initial=0.0)
+        dual = jnp.max(jnp.abs(Px + q + Aty), initial=0.0)
         prim_rel = jnp.maximum(jnp.max(jnp.abs(Ax) * row_mask, initial=0.0),
                                jnp.max(jnp.abs(z) * row_mask, initial=0.0))
         dual_rel = jnp.maximum(
-            jnp.max(jnp.abs(P @ x), initial=0.0),
-            jnp.maximum(jnp.max(jnp.abs(A.T @ y), initial=0.0),
+            jnp.max(jnp.abs(Px), initial=0.0),
+            jnp.maximum(jnp.max(jnp.abs(Aty), initial=0.0),
                         jnp.max(jnp.abs(q), initial=0.0)))
         return prim, dual, prim_rel, dual_rel
 
@@ -258,12 +284,9 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         return (x_new, z_new, y_new,
                 dx_acc * 0.5 + (x_new - x), dy_acc * 0.5 + (y_new - y), L, R)
 
-    def body(state):
-        k, x, z, y, L, R, rho, status, dx_acc, dy_acc = state
-        x, z, y, dx_acc, dy_acc, _, _ = jax.lax.fori_loop(
-            0, check_every, iter_once, (x, z, y, dx_acc, dy_acc, L, R))
-        k = k + check_every
-
+    def check_status(x, z, y, dx_acc, dy_acc):
+        """Residuals, termination flag, and infeasibility certificates —
+        the per-check-epoch block (cheap matvecs only, no factorization)."""
         prim, dual, prim_rel, dual_rel = residuals(x, z, y)
         eps_p = eps + eps * prim_rel
         eps_d = eps + eps * dual_rel
@@ -272,7 +295,7 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         # primal infeasibility certificate on accumulated dy
         ny = jnp.max(jnp.abs(dy_acc), initial=0.0)
         dyv = dy_acc / jnp.maximum(ny, 1e-30)
-        Atdy = jnp.max(jnp.abs(A.T @ dyv), initial=0.0)
+        Atdy = jnp.max(jnp.abs(matAT(dyv)), initial=0.0)
         sup = jnp.sum(jnp.where(row_mask,
                                 _clip_inf(u) * jnp.maximum(dyv, 0)
                                 + _clip_inf(l) * jnp.minimum(dyv, 0), 0.0))
@@ -281,9 +304,9 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         # dual infeasibility certificate on accumulated dx
         nx = jnp.max(jnp.abs(dx_acc), initial=0.0)
         dxv = dx_acc / jnp.maximum(nx, 1e-30)
-        Pdx = jnp.max(jnp.abs(P @ dxv), initial=0.0)
+        Pdx = jnp.max(jnp.abs(matP(dxv)), initial=0.0)
         qdx = jnp.dot(q, dxv)
-        Adx = A @ dxv
+        Adx = matA(dxv)
         cone_ok = jnp.all(jnp.where(~row_mask, True,
                   jnp.where(jnp.isfinite(l) & jnp.isfinite(u), jnp.abs(Adx) <= 1e-6,
                   jnp.where(jnp.isfinite(l), Adx >= -1e-6,
@@ -293,10 +316,49 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         status = jnp.where(solved, SOLVED,
                  jnp.where(pinf, PRIMAL_INFEASIBLE,
                  jnp.where(dinf, DUAL_INFEASIBLE, MAX_ITER))).astype(jnp.int32)
+        return status, prim, dual, prim_rel, dual_rel
 
-        # adaptive rho on residual balance (refactor rides the epoch
-        # boundary; applying it only when the ratio moved 5x keeps the
-        # factorization identical on quiet epochs)
+    # the while body is one ADAPT epoch: factor(rho) ONCE, then
+    # n_checks blocks of {check_every bare iterations + status check}.
+    # rho can only change at adapt boundaries (the `allowed` gate), so
+    # refactoring per CHECK epoch — as the previous structure did — paid
+    # 4× the factorization cost for identical factors; in mixed mode the
+    # factor (Cholesky + explicit inverse) dominated trajectory-scale
+    # rungs (measured: 40 s of the T=16 chip rung).  A block whose start
+    # status is terminal keeps its state (same per-lane freezing the
+    # check-epoch while_loop exit gave).
+    n_checks = max(adapt_every // check_every, 1)
+
+    def body(state):
+        k, x, z, y, rho, status, dx_acc, dy_acc = state
+        L, R = factor(rho)
+
+        def block(_, st):
+            k, x, z, y, status, dx_acc, dy_acc, pr = st
+            live = status == MAX_ITER
+            xn, zn, yn, dxn, dyn, _, _ = jax.lax.fori_loop(
+                0, check_every, iter_once, (x, z, y, dx_acc, dy_acc, L, R))
+            sn, prim, dual, prim_rel, dual_rel = check_status(
+                xn, zn, yn, dxn, dyn)
+            x = jnp.where(live, xn, x)
+            z = jnp.where(live, zn, z)
+            y = jnp.where(live, yn, y)
+            dx_acc = jnp.where(live, dxn, dx_acc)
+            dy_acc = jnp.where(live, dyn, dy_acc)
+            status = jnp.where(live, sn, status)
+            k = jnp.where(live, k + check_every, k)
+            prn = jnp.where(live, jnp.stack([prim, dual, prim_rel,
+                                             dual_rel]), pr)
+            return k, x, z, y, status, dx_acc, dy_acc, prn
+
+        pr0 = jnp.zeros(4, dtype=dt)
+        k, x, z, y, status, dx_acc, dy_acc, pr = jax.lax.fori_loop(
+            0, n_checks, block, (k, x, z, y, status, dx_acc, dy_acc, pr0))
+
+        # adaptive rho on residual balance at the adapt boundary (same
+        # cadence as before; applying it only when the ratio moved 5x
+        # keeps the factorization identical on quiet epochs)
+        prim, dual, prim_rel, dual_rel = pr[0], pr[1], pr[2], pr[3]
         ratio = jnp.sqrt((prim / jnp.maximum(prim_rel, 1e-12))
                          / jnp.maximum(dual / jnp.maximum(dual_rel, 1e-12),
                                        1e-12))
@@ -305,33 +367,42 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         big_change = (rho_new > 5 * rho) | (rho_new < rho / 5)
         rho = jnp.where(allowed & big_change & (status == MAX_ITER),
                         rho_new, rho)
-        L, R = factor(rho)
-
-        return (k, x, z, y, L, R, rho, status, dx_acc, dy_acc)
+        return (k, x, z, y, rho, status, dx_acc, dy_acc)
 
     def cond(state):
-        return (state[0] < max_iter) & (state[7] == MAX_ITER)
+        return (state[0] < max_iter) & (state[5] == MAX_ITER)
 
-    init = (jnp.int32(0), x0, z0, y0, L0, R0, jnp.asarray(rho0, dtype=dt),
-            jnp.int32(MAX_ITER), jnp.zeros(n, dtype=dt), jnp.zeros(m, dtype=dt))
-    k, x, z, y, L, R, rho, status, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), x0, z0, y0, jnp.asarray(rho0, dtype=dt),
+            jnp.int32(MAX_ITER), jnp.zeros(n, dtype=dt),
+            jnp.zeros(m, dtype=dt))
+    k, x, z, y, rho, status, _, _ = jax.lax.while_loop(cond, body, init)
 
     # -------- unscale back to the original problem ------------------------
+    if mixed:
+        A0_hi, A0_lo = _split(A0)
+        P0_hi, P0_lo = _split(P0)
+        matA0 = lambda v: _split_mv(A0_hi, A0_lo, v)          # noqa: E731
+        matAT0 = lambda v: _split_mv(A0_hi.T, A0_lo.T, v)     # noqa: E731
+        matP0 = lambda v: _split_mv(P0_hi, P0_lo, v)          # noqa: E731
+    else:
+        matA0 = lambda v: A0 @ v                              # noqa: E731
+        matAT0 = lambda v: A0.T @ v                           # noqa: E731
+        matP0 = lambda v: P0 @ v                              # noqa: E731
     x = Dsc * x
     y = Esc * y
     lc0 = _clip_inf(jnp.where(row_mask, l0, -jnp.inf))
     uc0 = _clip_inf(jnp.where(row_mask, u0, jnp.inf))
-    z = jnp.clip(A0 @ x, lc0, uc0)
+    z = jnp.clip(matA0(x), lc0, uc0)
 
     def residuals0(x, z, y):
-        Ax = A0 @ x
+        Ax = matA0(x)
         prim = jnp.max(jnp.abs(Ax - z) * row_mask, initial=0.0)
-        dual = jnp.max(jnp.abs(P0 @ x + q0 + A0.T @ y), initial=0.0)
+        dual = jnp.max(jnp.abs(matP0(x) + q0 + matAT0(y)), initial=0.0)
         return prim, dual
 
     # -------- polish: active-set KKT refinement on the ORIGINAL data ------
-    def polish(x, z, y):
-        Ax = A0 @ x
+    def polish_fn(x, z, y):
+        Ax = matA0(x)
         act_l = row_mask & ((y < -1e-9) | (Ax <= lc0 + 1e-7))
         act_u = row_mask & ((y > 1e-9) | (Ax >= uc0 - 1e-7))
         act = act_l | act_u
@@ -375,21 +446,30 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
         # dual-sign sanity: lower-active duals ≤ 0, upper-active ≥ 0
         y_p = jnp.where(act_l & ~act_u, jnp.minimum(y_p, 0.0), y_p)
         y_p = jnp.where(act_u & ~act_l, jnp.maximum(y_p, 0.0), y_p)
-        z_p = jnp.clip(A0 @ x_p, lc0, uc0)
+        z_p = jnp.clip(matA0(x_p), lc0, uc0)
         prim_p, dual_p = residuals0(x_p, z_p, y_p)
         prim_o, dual_o = residuals0(x, z, y)
+        Axp = matA0(x_p)
         feas_p = jnp.all(jnp.where(row_mask,
-                                   (A0 @ x_p >= lc0 - 1e-7)
-                                   & (A0 @ x_p <= uc0 + 1e-7), True))
+                                   (Axp >= lc0 - 1e-7)
+                                   & (Axp <= uc0 + 1e-7), True))
         better = feas_p & (prim_p + dual_p <= prim_o + dual_o)
         x = jnp.where(better, x_p, x)
         y = jnp.where(better, y_p, y)
-        z = jnp.where(better, jnp.clip(A0 @ x, lc0, uc0), z)
+        z = jnp.where(better, jnp.clip(matA0(x), lc0, uc0), z)
         return x, z, y
 
     prim, dual = residuals0(x, z, y)
+    # ``polish=False`` callers (the shared-route chip rung) certify through
+    # their own structured host polish; under vmap the lax.cond below runs
+    # the polish body for EVERY lane regardless of the flag value (select
+    # semantics), and its (n+m)^2 batched QR dominates the whole call at
+    # trajectory shapes (measured: the T=16 rung), so the skip must be
+    # STATIC.
     do_polish = (status == SOLVED) | ((prim <= 1e-3) & (dual <= 1e-3))
-    x, z, y = jax.lax.cond(do_polish, lambda op: polish(*op),
+    if not polish:
+        do_polish = jnp.bool_(False)
+    x, z, y = jax.lax.cond(do_polish, lambda op: polish_fn(*op),
                            lambda op: op, (x, z, y))
 
     prim, dual = residuals0(x, z, y)
@@ -415,22 +495,33 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
 # any caller-chosen budget share one compiled kernel per shape bucket —
 # halving the trace/compile count of the cold path.
 @functools.partial(jax.jit, static_argnames=("check_every", "banded_k",
-                                             "mixed"))
+                                             "mixed", "polish"))
 def solve_qp_batch(P, q, A, l, u, row_mask, *, max_iter=4000, eps=1e-9,
                    rho0=0.1, sigma=1e-6, alpha=1.6, check_every=25,
-                   banded_k=0, mixed=False):
+                   banded_k=0, mixed=False, x_init=None, y_init=None,
+                   polish=True):
     """Solve a batch of box-constrained QPs.
 
     Args: P (B,n,n), q (B,n), A (B,m,n), l,u (B,m), row_mask (B,m) bool.
     ``banded_k`` routes the x-update through cyclic reduction for
     block-tridiagonal trajectory KKTs (see _admm_solve); ``mixed`` keeps
-    f64 iterates but factors in f32 (the accelerator-safe f64 mode).
+    f64 iterates but factors in f32 (the accelerator-safe f64 mode);
+    ``x_init``/``y_init`` (B,n)/(B,m) warm-start the iteration.
     Returns QPSolution with leading batch dim.
     """
     fn = functools.partial(_admm_solve, max_iter=max_iter, eps=eps, rho0=rho0,
                            sigma=sigma, alpha=alpha, check_every=check_every,
-                           banded_k=banded_k, mixed=mixed)
-    return jax.vmap(fn)(P, q, A, l, u, row_mask)
+                           banded_k=banded_k, mixed=mixed, polish=polish)
+    if x_init is None and y_init is None:
+        return jax.vmap(fn)(P, q, A, l, u, row_mask)
+    B, m, n = A.shape
+    if x_init is None:
+        x_init = jnp.zeros((B, n), dtype=q.dtype)
+    if y_init is None:
+        y_init = jnp.zeros((B, m), dtype=q.dtype)
+    return jax.vmap(lambda P_, q_, A_, l_, u_, rm_, xi_, yi_: fn(
+        P_, q_, A_, l_, u_, rm_, x_init=xi_, y_init=yi_))(
+            P, q, A, l, u, row_mask, x_init, y_init)
 
 
 def solve_qp_batch_padded(P, q, A, l, u, row_mask, _no_lemke=False,

@@ -504,17 +504,23 @@ def _structured_polish(M0, nd, m, q, l64, u64, x0, tol, scale):
 
 
 @functools.partial(jax.jit, static_argnames=("Cb",))
-def _admm_shared_call(Q, A, c, lo, hi, eps, Cb):
+def _admm_shared_call(Q, A, c, lo, hi, x0, y0, eps, max_iter, Cb):
     """Device-side broadcast of the shared QP blocks into the batched
     mixed-precision ADMM (see :func:`_chip_admm_rung`).  ``eps`` is traced,
-    so the whole eps ladder shares one compiled kernel per Cb."""
+    so the whole eps ladder shares one compiled kernel per Cb; (x0, y0)
+    warm-start from the EG iterate."""
     from . import batch_qp
     m = A.shape[0]
     QB = jnp.broadcast_to(Q[None], (Cb,) + Q.shape)
     AB = jnp.broadcast_to(A[None], (Cb,) + A.shape)
     mask = jnp.ones((Cb, m), dtype=bool)
+    # polish=False: the rung certifies through _structured_polish on host
+    # (measured identical certification), and the in-kernel polish's
+    # (nd+m)² batched QR runs for EVERY lane under vmap — it dominated the
+    # whole call at trajectory shapes (T=16)
     return batch_qp.solve_qp_batch(QB, c, AB, lo, hi, mask, eps=eps,
-                                   mixed=True)
+                                   max_iter=max_iter, mixed=True,
+                                   x_init=x0, y_init=y0, polish=False)
 
 
 def _chip_admm_rung(M0, q, l64, u64, todo, structure, tol, scale,
@@ -543,9 +549,13 @@ def _chip_admm_rung(M0, q, l64, u64, todo, structure, tol, scale,
     pend = np.arange(C)
     dev_fl = 0.0
     # eps ladder, coarse first: most lanes' active sets identify at 1e-4
-    # (half the iterations of 1e-6); polish failures retry tighter.  eps is
-    # a traced input, so every rung shares one compiled kernel per Cb.
-    for eps in (1e-4, 1e-6):
+    # (half the iterations of 1e-6); polish failures retry tighter.  eps
+    # and max_iter are traced inputs, so every rung shares one compiled
+    # kernel per Cb.  (A 2000-iter cap on the first pass was measured
+    # WORSE at T=16 — many lanes of that class genuinely need >2000
+    # iterations, and capping them only moved the work into extra
+    # full-budget retry chunks.)
+    for eps, mi in ((1e-4, 4000), (1e-6, 4000)):
         if pend.size == 0:
             break
         x = np.empty((pend.size, nd))
@@ -569,6 +579,12 @@ def _chip_admm_rung(M0, q, l64, u64, todo, structure, tol, scale,
             def _p(a):
                 return (np.concatenate([a, np.repeat(a[:1], pad, axis=0)])
                         if pad else a)
+            # NO warm start: seeding the ADMM from the EG iterate was
+            # measured WORSE (925 vs 775 median iterations on the hard
+            # class — the inconsistent (z, y) start fights the ρ
+            # adaptation), so the rung runs cold
+            x0 = np.zeros((Cb, nd))
+            y0 = np.zeros((Cb, m))
             # Q and A are SHARED across lanes: broadcast ON DEVICE (a
             # jit-level broadcast_to) instead of shipping Cb host replicas
             # through the tunnel (~35 MB at Cb=128 — measured as the
@@ -576,7 +592,7 @@ def _chip_admm_rung(M0, q, l64, u64, todo, structure, tol, scale,
             sol = jax.device_get(_admm_shared_call(
                 Qd, Ad, jnp.asarray(_p(c)),
                 jnp.asarray(_p(l2 - off)), jnp.asarray(_p(u2 - off)),
-                eps, Cb))
+                jnp.asarray(x0), jnp.asarray(y0), eps, mi, Cb))
             x[sel] = np.asarray(sol.x, dtype=np.float64)[:csz]
             it_l = np.asarray(sol.iters, dtype=np.int64)
             stats_iters[idx] += it_l[:csz]
@@ -644,7 +660,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
                          eg_method: str = "eg",
                          enable_prox_eg: bool = False,
                          lane_chunk: int = 1024, newton_rounds: int = 12,
-                         refine_passes: int = 2,
+                         refine_passes: int = 1,
                          structure: Optional[dict] = None,
                          mesh=None,
                          stats: Optional[dict] = None) -> AVIResult:
@@ -895,6 +911,7 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
     # round 3's host-driven version re-uploaded ~25 MB of f64 vectors for
     # it through the tunnel.
     sing0: list = []
+    z_out_deferred: list = []   # (sel, device z, ok mask) — async transfers
     # sharded round-0 runs as one call: each device factorizes its own S/D
     # lanes; mid-axis host chunking would break the sharding.  Scoped to
     # round 0 — later rounds re-upload small host chunks and must keep the
@@ -915,10 +932,38 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         phase_t["round0_compute"] = (
             phase_t.get("round0_compute", 0.0) + time.perf_counter() - _t0)
         _t0 = time.perf_counter()
-        if jax.process_count() > 1:
+        fin = np.isfinite(rn)
+        adv = fin & (rn > tol)
+        if adv.any() or jax.process_count() > 1:
+            # a lane will advance through the δ ladder: its basis solution
+            # becomes the next classification point — fetch the chunk now
             zc, hs = _fetch(zc_d), _fetch(h_d)
+            Fchunk = np.zeros_like(zc)
+            Fchunk[adv] = zc[adv] @ M0.T + q[sel[adv]]
+            sing0.extend(sel[~fin].tolist())
+            _absorb(sel, zc, Fchunk, rn, rn, 0)  # δ=0 ⇒ prox resid = rn
         else:
-            zc, hs = (np.asarray(a) for a in jax.device_get((zc_d, h_d)))
+            # every lane either certified or goes to the rungs: START the
+            # 5 MB z transfer asynchronously and absorb it at assembly time
+            # — the copy rides the tunnel WHILE the chip runs the
+            # structured-QP rung (round0_fetch was 0.385 s of the 2.6 s
+            # bench wall when serialized here)
+            try:
+                zc_d.copy_to_host_async()
+            except (AttributeError, RuntimeError):  # pragma: no cover
+                pass
+            hs = _fetch(h_d)
+            ok = fin & (rn <= tol)
+            z_out_deferred.append((sel, zc_d, ok))
+            done[sel[ok]] = True
+            if ok.any():
+                progress_rd[0] = 0
+            sing0.extend(sel[~fin].tolist())
+            for lane_i in sel[~fin]:
+                _bump_rung(lane_i)
+            _dbg(f"newton rd=0 lanes={sel.size} ok={int(ok.sum())} adv=0 "
+                 f"recenter=0 sing={int((~fin).sum())} dmax=0.0e+00 "
+                 f"(z deferred)")
         phase_t["round0_fetch"] = (
             phase_t.get("round0_fetch", 0.0) + time.perf_counter() - _t0)
         # record the round-0 fingerprints so a lane re-presenting the same
@@ -927,15 +972,6 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
         # an exact round-1 repeat of the EG classification IS detected
         for k, lane in enumerate(sel):
             seen_cls[lane].add(int(hs[k]))
-        # F only for the lanes that will advance: a small host GEMM
-        # replaces a 5 MB tunnel fetch
-        fin = np.isfinite(rn)
-        adv = fin & (rn > tol)
-        Fchunk = np.zeros_like(zc)
-        if adv.any():
-            Fchunk[adv] = zc[adv] @ M0.T + q[sel[adv]]
-        sing0.extend(sel[~fin].tolist())
-        _absorb(sel, zc, Fchunk, rn, rn, 0)   # δ=0 ⇒ prox residual = rn
     # lanes whose round-0 factorization was singular keep the EG iterate as
     # their classification point — fill their natural map now (the full-
     # ensemble F64 host GEMM this replaces cost more than these few lanes)
@@ -1176,6 +1212,12 @@ def solve_kkt_avi_shared(M, q, l, u, var_mask, tol: float = 1e-8, *,
 
     phase_t["escalations"] = time.perf_counter() - _t
     _t = time.perf_counter()
+    # absorb the deferred round-0 solutions: their host copies were started
+    # asynchronously before the rungs ran, so this materialization is ~free
+    # (round-0-certified lanes are disjoint from every rung's lanes)
+    for sel, zc_d, ok in z_out_deferred:
+        if ok.any():
+            z_out[sel[ok]] = np.asarray(zc_d, dtype=np.float64)[ok]
     resid, _ = _nat_resid_shared(M0, q, l64, u64, z_out)
     phase_t["final_audit"] = time.perf_counter() - _t
     converged = resid <= tol
