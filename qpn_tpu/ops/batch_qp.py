@@ -325,9 +325,12 @@ def _admm_solve(P, q, A, l, u, row_mask, *, max_iter, eps, rho0, sigma, alpha,
     # 4× the factorization cost for identical factors; in mixed mode the
     # factor (Cholesky + explicit inverse) dominated trajectory-scale
     # rungs (measured: 40 s of the T=16 chip rung).  A block whose start
-    # status is terminal keeps its state (same per-lane freezing the
-    # check-epoch while_loop exit gave).
-    n_checks = max(adapt_every // check_every, 1)
+    # status is terminal keeps its state (per-lane freezing).
+    # Non-mixed (glue-QP) callers keep check-epoch granularity: their
+    # factors are cheap, and the coarser epoch exit costs small fast-
+    # converging QPs up to 3 extra check blocks per call (measured as a
+    # zoo-wall regression).
+    n_checks = max(adapt_every // check_every, 1) if mixed else 1
 
     def body(state):
         k, x, z, y, rho, status, dx_acc, dy_acc = state
